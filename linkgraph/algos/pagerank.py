@@ -1,0 +1,130 @@
+"""PageRank — networkx-semantics, tolerance-converged.
+
+Transcribed semantics (NOT code) from the reference implementation
+analytical_engine/apps/pagerank/pagerank_networkx.h:54-163 and its
+Python wrapper python/graphscope/analytical/app/pagerank.py:32-121:
+
+  * init rank[v] = 1/N; deg[v] = outdeg (directed) or degree
+    (undirected, over the symmetrized edge set)
+  * per round:
+      dangling  = Σ rank[u] over deg[u]==0            (Sum collective)
+      rank'[v]  = (1-α)/N + α·( Σ_{u→v} rank[u]/deg[u] + dangling/N )
+  * stop when Σ_v |rank'[v]−rank[v]| < tol·N (pagerank_networkx.h:135-149)
+    or after max_iter rounds.
+
+Spark plan per superstep (dataframe mode):
+  edges ⋈ state on src  →  groupBy(dst).agg(sum(rank/deg))  →
+  left-join back onto state.
+The edge frame is hash-partitioned by src once and persisted; with
+spark.sql.shuffle.partitions equal to that partition count, the
+per-round join reuses the edge partitioning and only shuffles the
+V-row rank frame — the DataFrame analog of the reference's "mirrors
+stay put, messages move" design (key_concepts.rst:15-31). The
+convergence L1 and the NEXT round's dangling mass are computed in one
+aggregate pass, so each superstep runs exactly one collect().
+
+csr mode (the north-star vectorized path) lives in linkgraph.csr and
+shares this driver; see pagerank_csr().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.graph import Graph
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Returns state (id: long, rank: double); converged per tol·N L1 rule.
+
+    alpha/max_iter/tol defaults match pagerank_nx
+    (python/graphscope/analytical/app/pagerank.py:91-121).
+    """
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = graph.edges.select("src", "dst") if graph.directed else (
+        graph.to_undirected(dedup=True).symmetrized_edges().select("src", "dst")
+    )
+    if not graph.directed:
+        # undirected: propagate along both directions of the deduped edge set
+        pass
+    # partition once; every superstep's join reuses this layout
+    edges = edges.repartition(P, "src").persist()
+    n_edges = edges.count()
+
+    verts = graph.deduced_vertices()
+    deg = (
+        verts.join(
+            edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+    )
+    n = deg.count()
+    if n == 0:
+        return SuperstepResult(state=verts.select("id", F.lit(0.0).alias("rank")),
+                               rounds=0, converged=True)
+
+    init = deg.select("id", "deg", F.lit(1.0 / n).alias("rank")).repartition(P, "id")
+
+    # dangling mass of the INITIAL state: (#deg==0) * 1/N
+    n_dangling0 = deg.where(F.col("deg") == 0).count()
+    dangling_cell = {"mass": n_dangling0 / n}
+
+    base = (1.0 - alpha) / n
+
+    def step(state: DataFrame, round_: int):
+        dangling = dangling_cell["mass"]
+        contribs = (
+            edges.join(
+                state.where(F.col("deg") > 0).select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("msg"))
+        )
+        new_state = (
+            state.withColumnRenamed("rank", "prev_rank")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce("msg", F.lit(0.0))
+                    + F.lit(alpha * dangling / n)
+                ).alias("rank"),
+                "prev_rank",
+            )
+        )
+        agg = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("dangling"),
+        ).collect()[0]
+        eps = agg["eps"] or 0.0
+        dangling_cell["mass"] = agg["dangling"] or 0.0
+        return new_state.drop("prev_rank"), {
+            "halt": eps < tol * n,
+            "l1_delta": eps,
+            "dangling_mass": dangling_cell["mass"],
+            "edges_processed": n_edges,
+        }
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("id", "rank")
+    edges.unpersist()
+    return result

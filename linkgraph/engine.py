@@ -1,0 +1,199 @@
+"""Superstep runtime: the DataFrame re-expression of the BSP loop.
+
+The reference's worker loop is literally ``PEval()`` once then
+``IncEval()`` until no messages are pending
+(analytical_engine/core/worker/default_worker.h:89-122), with MPI
+allreduce collectives for global convergence metrics
+(apps/pagerank/pagerank_networkx.h:146). Here:
+
+  * a superstep is one driver-side iteration producing a new
+    vertex-state DataFrame from the previous one,
+  * the allreduce is a ``df.agg(...)`` collected to the driver,
+  * vote-to-halt is the driver inspecting those scalars,
+  * durability is a per-superstep (or every-k) checkpoint of the state
+    frame to a table (parquet here; Iceberg snapshots in production —
+    same layout, swap the writer), together with a metrics row
+    carrying per-partition lineage so a killed job resumes
+    mid-iteration.
+
+Nothing in Catalyst iterates, so this loop is the one genuinely custom
+"engine" component (SURVEY.md §7.2); everything inside a superstep is
+a declarative plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class SuperstepResult:
+    """Final state + per-superstep metrics of one run."""
+
+    state: DataFrame
+    rounds: int
+    converged: bool
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def last(self) -> dict[str, Any]:
+        return self.metrics[-1] if self.metrics else {}
+
+
+class SuperstepEngine:
+    """Runs ``step_fn`` until convergence with persistence + checkpoints.
+
+    step_fn(state: DataFrame, round: int) -> (new_state, metrics_dict)
+      metrics_dict may contain 'halt': True to vote-to-halt, plus any
+      scalars (e.g. l1_delta, frontier_size, msgs) — they are recorded
+      per superstep. The engine adds timing and lineage fields.
+
+    Lineage control: each round's state is persisted; every
+    ``checkpoint_every`` rounds the plan is truncated either durably
+    (parquet write+read under checkpoint_dir) or in-memory
+    (localCheckpoint) — iterative joins otherwise grow the logical
+    plan unboundedly.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        record_partition_lineage: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.storage_level = storage_level
+        self.record_partition_lineage = record_partition_lineage
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+
+    # -- checkpoint store ------------------------------------------------
+
+    def _ckpt_path(self, round_: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"round={round_:05d}")
+
+    def _metrics_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "metrics.jsonl")
+
+    def _write_checkpoint(self, state: DataFrame, round_: int, metrics: dict) -> DataFrame:
+        path = self._ckpt_path(round_)
+        state.write.mode("overwrite").parquet(path)
+        if self.record_partition_lineage:
+            lineage = [
+                {"partition": int(r["p"]), "rows": int(r["n"])}
+                for r in state.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
+        else:
+            lineage = None
+        row = {
+            "round": round_,
+            "path": path,
+            "ts": time.time(),
+            "partitions": state.rdd.getNumPartitions(),
+            "partition_lineage": lineage,
+            **{k: v for k, v in metrics.items() if _jsonable(v)},
+        }
+        with open(self._metrics_path(), "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+        return self.spark.read.parquet(path)
+
+    def latest_checkpoint(self) -> tuple[int, DataFrame] | None:
+        """(round, state) of the newest durable checkpoint, or None —
+        the resume entrypoint the north rule requires."""
+        if not self.checkpoint_dir or not os.path.exists(self._metrics_path()):
+            return None
+        last = None
+        with open(self._metrics_path()) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if "path" in rec and os.path.exists(rec["path"]):
+                    last = rec
+        if last is None:
+            return None
+        return int(last["round"]), self.spark.read.parquet(last["path"])
+
+    # -- the loop ---------------------------------------------------------
+
+    def run(
+        self,
+        initial_state: DataFrame,
+        step_fn: Callable[[DataFrame, int], tuple[DataFrame, dict[str, Any]]],
+        max_rounds: int = 100,
+        resume: bool = False,
+        start_round: int = 0,
+    ) -> SuperstepResult:
+        state = initial_state
+        if resume:
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                start_round, state = latest
+                start_round += 1
+
+        state = state.persist(self.storage_level)
+        state.count()  # materialize PEval input
+        all_metrics: list[dict[str, Any]] = []
+        converged = False
+        round_ = start_round
+
+        while round_ < max_rounds:
+            t0 = time.time()
+            new_state, metrics = step_fn(state, round_)
+            new_state = new_state.persist(self.storage_level)
+            # Materialize; step_fn usually already collected its
+            # convergence aggregate (the Sum collective), which also
+            # materializes — this count is the explicit barrier.
+            n_rows = new_state.count()
+            metrics = dict(metrics)
+            metrics.setdefault("rows", n_rows)
+            metrics["superstep_sec"] = time.time() - t0
+            metrics["round"] = round_
+
+            halt = bool(metrics.pop("halt", False))
+            durable = self.checkpoint_dir and (
+                halt or (round_ + 1) % self.checkpoint_every == 0
+            )
+            if durable:
+                reread = self._write_checkpoint(new_state, round_, metrics)
+                new_state.unpersist()
+                new_state = reread.persist(self.storage_level)
+            elif (round_ + 1 - start_round) % self.checkpoint_every == 0:
+                # in-memory lineage truncation between durable snapshots
+                new_state = new_state.localCheckpoint(eager=True)
+
+            state.unpersist()
+            state = new_state
+            all_metrics.append(metrics)
+            round_ += 1
+            if halt:
+                converged = True
+                break
+
+        return SuperstepResult(
+            state=state, rounds=round_ - start_round, converged=converged, metrics=all_metrics
+        )
+
+
+def _jsonable(v: Any) -> bool:
+    return isinstance(v, (int, float, str, bool, type(None), list, dict))
+
+
+def scalar(df_agg_row, name: str, default=0):
+    """Helper: pull a named aggregate out of a collected Row, treating
+    NULL (empty input) as `default` — the Spark analog of the MPI Sum
+    collective's identity element."""
+    v = df_agg_row[name]
+    return default if v is None else v

@@ -1,0 +1,217 @@
+"""Pure numpy/pandas oracles transcribing the reference semantics.
+
+These are the single-node golden implementations used by the test
+suite, mirroring the reference's validation style (LDBC Graphalytics
+goldens compared byte-exact / np.allclose —
+analytical_engine/test/app_tests.sh:115-126,
+python/graphscope/tests/unittest/test_app.py:189-234). Each function
+takes plain numpy edge arrays and returns per-vertex results; the
+pytest suite asserts the distributed DataFrame implementations match
+(allclose 1e-6 for PageRank, exact for WCC/CDLP/triangles).
+
+Semantics sources (transcribed, not copied):
+  pagerank  — apps/pagerank/pagerank_networkx.h:54-163
+  wcc       — apps/projected/wcc_projected.h:70-182 (min-id labels)
+  cdlp      — LDBC CDLP / apps/flash/clustering/lpa.h:47-77
+              (most-frequent neighbor label, ties -> min, sync rounds)
+  triangles — apps/clustering/triangles.h:43-158 (degree-ordered)
+  bfs/sssp  — grape BFS/SSSP semantics (level / min-dist fixpoint)
+  hits      — apps/hits/hits.h (L2-normalized, tol on both vectors)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _relabel(src: np.ndarray, dst: np.ndarray, ids: np.ndarray | None = None):
+    """Map arbitrary int64 vertex ids to dense [0,n); returns
+    (n, ids_sorted, s, d) with s/d dense."""
+    if ids is None:
+        ids = np.unique(np.concatenate([src, dst]))
+    else:
+        ids = np.unique(ids)
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    return len(ids), ids, s, d
+
+
+def pagerank(src, dst, directed=True, alpha=0.85, max_iter=100, tol=1e-6, ids=None):
+    """Returns (ids, rank) — networkx/GRAPE semantics with uniform
+    dangling redistribution and the eps < tol*N L1 stop rule."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    if not directed:
+        pairs = np.unique(np.stack([np.concatenate([s, d]), np.concatenate([d, s])], axis=1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+    else:
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+    deg = np.bincount(s, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    dangling_mask = deg == 0
+    for _ in range(max_iter):
+        dangling = rank[dangling_mask].sum()
+        w = np.zeros(n)
+        nz = deg > 0
+        w[nz] = rank[nz] / deg[nz]
+        msg = np.bincount(d, weights=w[s], minlength=n)
+        new_rank = (1 - alpha) / n + alpha * msg + alpha * dangling / n
+        eps = np.abs(new_rank - rank).sum()
+        rank = new_rank
+        if eps < tol * n:
+            break
+    return ids, rank
+
+
+def wcc(src, dst, ids=None):
+    """Returns (ids, comp) with comp = min vertex id of the component
+    (wcc_projected.h labels components by min gid)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    comp = np.arange(n)
+    changed = True
+    while changed:
+        changed = False
+        # min-label propagation both directions until fixpoint
+        for a, b in ((s, d), (d, s)):
+            new = comp.copy()
+            np.minimum.at(new, b, comp[a])
+            if (new < comp).any():
+                comp = np.minimum(comp, new)
+                changed = True
+    return ids, ids[comp]
+
+
+def cdlp(src, dst, max_round=10, ids=None):
+    """LDBC CDLP on the undirected view: synchronous rounds, each
+    vertex adopts the most frequent neighbor label, ties -> min label;
+    isolated vertices keep their own label. Returns (ids, label)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    pairs = np.unique(
+        np.stack([np.concatenate([s, d]), np.concatenate([d, s])], axis=1), axis=0
+    )
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    u, v = pairs[:, 0], pairs[:, 1]
+    label = ids.copy()
+    for _ in range(max_round):
+        nbr_lab = label[v]
+        # histogram per (u, label): sort by (u, label) and count runs
+        order = np.lexsort((nbr_lab, u))
+        uu, ll = u[order], nbr_lab[order]
+        grp = np.concatenate([[True], (uu[1:] != uu[:-1]) | (ll[1:] != ll[:-1])])
+        gi = np.cumsum(grp) - 1
+        cnt = np.bincount(gi)
+        g_u = uu[grp]
+        g_l = ll[grp]
+        # pick per u: max count, tie -> min label. lexsort ascending by
+        # (u, -cnt, label) then take first of each u-run.
+        o2 = np.lexsort((g_l, -cnt, g_u))
+        g_u2, g_l2 = g_u[o2], g_l[o2]
+        first = np.concatenate([[True], g_u2[1:] != g_u2[:-1]])
+        new_label = label.copy()
+        new_label[g_u2[first]] = g_l2[first]
+        if np.array_equal(new_label, label):
+            break
+        label = new_label
+    return ids, label
+
+
+def triangles(src, dst, ids=None):
+    """Per-vertex triangle counts on the undirected simple graph,
+    degree-ordered enumeration (apps/clustering/triangles.h:70-139:
+    keep neighbor u of v iff (deg,id) of u < of v; intersect).
+    Returns (ids, count)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    pairs = np.unique(
+        np.stack([np.concatenate([s, d]), np.concatenate([d, s])], axis=1), axis=0
+    )
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    u, v = pairs[:, 0], pairs[:, 1]
+    deg = np.bincount(u, minlength=n)
+    # orient: keep u->v iff (deg[u],u) < (deg[v],v)
+    keep = (deg[u] < deg[v]) | ((deg[u] == deg[v]) & (u < v))
+    ou, ov = u[keep], v[keep]
+    adj: dict[int, set] = {}
+    for a, b in zip(ou.tolist(), ov.tolist()):
+        adj.setdefault(a, set()).add(b)
+    cnt = np.zeros(n, dtype=np.int64)
+    for a, b in zip(ou.tolist(), ov.tolist()):
+        common = adj.get(a, set()) & adj.get(b, set())
+        for c in common:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return ids, cnt
+
+
+def bfs(src, dst, source, directed=True, ids=None):
+    """BFS levels from `source` (unreached = -1). Returns (ids, level)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    if not directed:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+    level = np.full(n, -1, dtype=np.int64)
+    si = int(np.searchsorted(ids, source))
+    level[si] = 0
+    frontier = np.array([si])
+    lvl = 0
+    while frontier.size:
+        lvl += 1
+        mask = np.isin(s, frontier)
+        nxt = np.unique(d[mask])
+        nxt = nxt[level[nxt] == -1]
+        level[nxt] = lvl
+        frontier = nxt
+    return ids, level
+
+
+def sssp(src, dst, w, source, directed=True, ids=None):
+    """Single-source shortest paths (Bellman-Ford fixpoint), unreached
+    = +inf. Returns (ids, dist)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    if not directed:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        w = np.concatenate([w, w])
+    dist = np.full(n, np.inf)
+    dist[int(np.searchsorted(ids, source))] = 0.0
+    for _ in range(n):
+        cand = dist[s] + w
+        new = dist.copy()
+        np.minimum.at(new, d, cand)
+        if (new == dist).all():
+            break
+        dist = new
+    return ids, dist
+
+
+def hits(src, dst, max_iter=100, tol=1e-8, ids=None):
+    """HITS hubs/authorities with L2 normalization each round
+    (apps/hits/hits.h). Returns (ids, hub, auth)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    hub = np.full(n, 1.0)
+    auth = np.full(n, 1.0)
+    for _ in range(max_iter):
+        new_auth = np.bincount(d, weights=hub[s], minlength=n)
+        na = np.linalg.norm(new_auth)
+        new_auth = new_auth / na if na else new_auth
+        new_hub = np.bincount(s, weights=new_auth[d], minlength=n)
+        nh = np.linalg.norm(new_hub)
+        new_hub = new_hub / nh if nh else new_hub
+        if np.abs(new_hub - hub).sum() + np.abs(new_auth - auth).sum() < tol:
+            hub, auth = new_hub, new_auth
+            break
+        hub, auth = new_hub, new_auth
+    return ids, hub, auth
