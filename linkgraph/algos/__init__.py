@@ -1,0 +1,24 @@
+"""Built-in algorithms (the GAE builtin-app registry re-expressed;
+reference registry: coordinator/gscoordinator/builtin/app/.gs_conf.yaml)."""
+
+from linkgraph.algos.pagerank import pagerank
+from linkgraph.algos.wcc import wcc
+from linkgraph.algos.cdlp import cdlp
+from linkgraph.algos.triangles import (
+    triangles,
+    triangle_count,
+    lcc,
+    transitivity,
+    avg_clustering,
+)
+
+__all__ = [
+    "pagerank",
+    "wcc",
+    "cdlp",
+    "triangles",
+    "triangle_count",
+    "lcc",
+    "transitivity",
+    "avg_clustering",
+]
