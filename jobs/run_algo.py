@@ -1,0 +1,120 @@
+"""spark-submit entrypoint for the linkgraph engine.
+
+Usage (cluster):
+  spark-submit --py-files dist/linkgraph.zip jobs/run_algo.py \
+      <algo> --edges <parquet path|dir> [--vertices <parquet>] \
+      [--output <dir>] [--checkpoint-dir <dir>] [--resume] \
+      [--directed/--undirected] [--source N] [--weight-col W] \
+      [--max-iter N] [--tol T] [--alpha A] [--k K] [--mode join|csr]
+
+Algos: pagerank wcc cdlp triangles lcc bfs sssp hits kcore
+Local smoke: python jobs/run_algo.py pagerank --edges <parquet> --output /tmp/pr
+
+The driver loop + checkpointing lives in linkgraph.engine; this file
+is only argument plumbing, so the same package serves notebooks,
+tests, bench and cluster submission (the reference's coordinator
+RUN_APP role, grape_instance.cc:1314-1317, collapses into this CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="run_algo")
+    ap.add_argument("algo", choices=[
+        "pagerank", "wcc", "cdlp", "triangles", "lcc", "bfs", "sssp", "hits", "kcore",
+    ])
+    ap.add_argument("--edges", required=True, help="parquet with (src,dst[,props])")
+    ap.add_argument("--vertices", default=None, help="optional parquet with (id,...)")
+    ap.add_argument("--output", default=None, help="parquet output dir")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--directed", dest="directed", action="store_true", default=True)
+    ap.add_argument("--undirected", dest="directed", action="store_false")
+    ap.add_argument("--source", type=int, default=0)
+    ap.add_argument("--weight-col", default=None)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--k", type=int, default=2)
+    ap.add_argument("--mode", choices=["join", "csr"], default="join")
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from linkgraph.engine import SuperstepEngine
+    from linkgraph.graph import Graph
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app_name=f"linkgraph-{args.algo}")
+    edges = spark.read.parquet(args.edges)
+    vertices = spark.read.parquet(args.vertices) if args.vertices else None
+    g = Graph.from_edges(edges, vertices=vertices, directed=args.directed,
+                         weight_col=args.weight_col)
+    eng = SuperstepEngine(
+        spark,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        record_partition_lineage=True,
+    )
+
+    meta: dict = {"algo": args.algo}
+    if args.algo == "pagerank":
+        if args.mode == "csr":
+            from linkgraph.csr import pagerank_csr as fn
+        else:
+            from linkgraph.algos.pagerank import pagerank as fn
+        res = fn(g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
+                 engine=eng, num_partitions=args.partitions,
+                 **({"resume": args.resume} if args.mode == "join" else {}))
+    elif args.algo == "wcc":
+        from linkgraph.algos.wcc import wcc
+        res = wcc(g, engine=eng, num_partitions=args.partitions, resume=args.resume)
+    elif args.algo == "cdlp":
+        from linkgraph.algos.cdlp import cdlp
+        res = cdlp(g, max_round=args.max_iter if args.max_iter != 100 else 10,
+                   engine=eng, num_partitions=args.partitions)
+    elif args.algo == "triangles":
+        from linkgraph.algos.triangles import triangles
+        out = triangles(g)
+        res = None
+    elif args.algo == "lcc":
+        from linkgraph.algos.triangles import lcc
+        out = lcc(g)
+        res = None
+    elif args.algo == "bfs":
+        from linkgraph.algos.traversal import bfs
+        res = bfs(g, source=args.source, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "sssp":
+        from linkgraph.algos.traversal import sssp
+        res = sssp(g, source=args.source, weight_col=args.weight_col,
+                   engine=eng, num_partitions=args.partitions)
+    elif args.algo == "hits":
+        from linkgraph.algos.hits import hits
+        res = hits(g, max_iter=args.max_iter, tol=args.tol, engine=eng,
+                   num_partitions=args.partitions)
+    elif args.algo == "kcore":
+        from linkgraph.algos.cores import kcore
+        res = kcore(g, k=args.k, engine=eng, num_partitions=args.partitions)
+
+    if res is not None:
+        out = res.state
+        meta.update(rounds=res.rounds, converged=res.converged,
+                    last_metrics=res.last)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        meta["output"] = args.output
+        meta["rows"] = spark.read.parquet(args.output).count()
+    else:
+        meta["rows"] = out.count()
+    print(json.dumps(meta))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -11,6 +11,9 @@ from linkgraph.algos.triangles import (
     transitivity,
     avg_clustering,
 )
+from linkgraph.algos.traversal import bfs, sssp
+from linkgraph.algos.hits import hits
+from linkgraph.algos.cores import kcore, kshell
 
 __all__ = [
     "pagerank",
@@ -21,4 +24,9 @@ __all__ = [
     "lcc",
     "transitivity",
     "avg_clustering",
+    "bfs",
+    "sssp",
+    "hits",
+    "kcore",
+    "kshell",
 ]

@@ -67,12 +67,16 @@ def cdlp(
                 (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
             )
         )
-        changed = new_state.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
-        return new_state.drop("_chg"), {
-            "halt": changed == 0,
-            "changed": int(changed),
-            "edges_processed": n_edges,
-        }
+
+        def finalize(df: DataFrame) -> dict:
+            changed = df.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
+            return {
+                "halt": changed == 0,
+                "changed": int(changed),
+                "edges_processed": n_edges,
+            }
+
+        return new_state, finalize
 
     result = eng.run(init, step, max_rounds=max_round)
     result.state = result.state.select("id", "label")

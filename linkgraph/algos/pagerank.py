@@ -42,11 +42,17 @@ def pagerank(
     tol: float = 1e-6,
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
+    resume: bool = False,
 ) -> SuperstepResult:
     """Returns state (id: long, rank: double); converged per tol·N L1 rule.
 
     alpha/max_iter/tol defaults match pagerank_nx
     (python/graphscope/analytical/app/pagerank.py:91-121).
+
+    resume=True restarts mid-iteration from the engine's latest durable
+    checkpoint (the engine swaps in the checkpointed state; the
+    dangling mass is recomputed lazily from that state, so no
+    driver-side value needs to survive the restart).
     """
     spark = graph.edges.sparkSession
     eng = engine or SuperstepEngine(spark)
@@ -78,13 +84,22 @@ def pagerank(
 
     init = deg.select("id", "deg", F.lit(1.0 / n).alias("rank")).repartition(P, "id")
 
-    # dangling mass of the INITIAL state: (#deg==0) * 1/N
-    n_dangling0 = deg.where(F.col("deg") == 0).count()
-    dangling_cell = {"mass": n_dangling0 / n}
+    # dangling mass is computed lazily from the current state (so a
+    # resumed run rebuilds it from the checkpoint), then carried
+    # forward by the per-superstep aggregate.
+    dangling_cell: dict[str, float | None] = {"mass": None}
 
     base = (1.0 - alpha) / n
 
     def step(state: DataFrame, round_: int):
+        state = state.drop("prev_rank")  # stale column from a resumed checkpoint
+        if dangling_cell["mass"] is None:
+            dangling_cell["mass"] = (
+                state.agg(
+                    F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("d")
+                ).collect()[0]["d"]
+                or 0.0
+            )
         dangling = dangling_cell["mass"]
         contribs = (
             edges.join(
@@ -111,20 +126,26 @@ def pagerank(
                 "prev_rank",
             )
         )
-        agg = new_state.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
-            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("dangling"),
-        ).collect()[0]
-        eps = agg["eps"] or 0.0
-        dangling_cell["mass"] = agg["dangling"] or 0.0
-        return new_state.drop("prev_rank"), {
-            "halt": eps < tol * n,
-            "l1_delta": eps,
-            "dangling_mass": dangling_cell["mass"],
-            "edges_processed": n_edges,
-        }
 
-    result = eng.run(init, step, max_rounds=max_iter)
+        def finalize(df: DataFrame) -> dict:
+            # convergence L1 + NEXT round's dangling mass in one pass
+            # over the already-materialized state (the Sum collective)
+            agg = df.agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("dangling"),
+            ).collect()[0]
+            eps = agg["eps"] or 0.0
+            dangling_cell["mass"] = agg["dangling"] or 0.0
+            return {
+                "halt": eps < tol * n,
+                "l1_delta": eps,
+                "dangling_mass": dangling_cell["mass"],
+                "edges_processed": n_edges,
+            }
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter, resume=resume)
     result.state = result.state.select("id", "rank")
     edges.unpersist()
     return result

@@ -1,0 +1,125 @@
+"""Traversal algorithms: BFS levels and SSSP (Bellman-Ford style
+min-dist fixpoint) — frontier-based superstep jobs.
+
+Semantics: grape::BFSOpt / grape::SSSPOpt as registered in
+coordinator/gscoordinator/builtin/app/.gs_conf.yaml:34-49 and the
+nx-compatible bfs_generic / sssp_projected apps
+(analytical_engine/apps/bfs/bfs_generic.h,
+apps/projected/sssp_projected.h): per-vertex distance from a single
+source; unreached vertices get a sentinel (-1 here).
+
+Both are delta-frontier jobs: only vertices whose distance improved
+last round relax their out-edges (wcc_projected.h's curr_modified
+pattern). BFS is SSSP with unit weights, so one implementation serves
+both; level = superstep index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.graph import Graph
+
+
+def sssp(
+    graph: Graph,
+    source: int,
+    weight_col: str | None = None,
+    engine: SuperstepEngine | None = None,
+    max_iter: int = 10_000,
+    num_partitions: int | None = None,
+    directed: bool | None = None,
+) -> SuperstepResult:
+    """Returns state (id: long, dist: double); unreached = -1.0.
+
+    weight_col=None means unit weights (= BFS levels as doubles).
+    """
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    use_directed = graph.directed if directed is None else directed
+
+    w = weight_col or graph.weight_col
+    cols = ["src", "dst"] + ([w] if w else [])
+    base_edges = graph.edges.select(*cols)
+    if not use_directed:
+        base_edges = Graph.from_edges(base_edges, directed=True).symmetrized_edges()
+    edges = (
+        base_edges.select(
+            "src", "dst", (F.col(w) if w else F.lit(1.0)).cast("double").alias("w")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
+        .repartition(P, "src")
+        .persist()
+    )
+    n_edges = edges.count()
+
+    verts = graph.deduced_vertices()
+    INF = float("inf")
+    init = verts.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+    ).repartition(P, "id")
+
+    def step(state: DataFrame, round_: int):
+        frontier = state.where(F.col("changed")).select(
+            F.col("id").alias("src"), F.col("dist").alias("sd")
+        )
+        relax = (
+            edges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("sd") + F.col("w")).alias("cand"))
+        )
+        new_state = (
+            state.join(relax, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),
+                (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
+            )
+        )
+        def finalize(df: DataFrame) -> dict:
+            changed = (
+                df.agg(F.sum(F.col("changed").cast("long")).alias("c")).collect()[0]["c"]
+                or 0
+            )
+            return {
+                "halt": changed == 0,
+                "frontier": int(changed),
+                "edges_processed": n_edges,
+            }
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select(
+        "id", F.when(F.col("dist") == INF, F.lit(-1.0)).otherwise(F.col("dist")).alias("dist")
+    )
+    edges.unpersist()
+    return result
+
+
+def bfs(
+    graph: Graph,
+    source: int,
+    engine: SuperstepEngine | None = None,
+    max_iter: int = 10_000,
+    num_partitions: int | None = None,
+    directed: bool | None = None,
+) -> SuperstepResult:
+    """BFS levels from source: (id: long, level: long); unreached = -1."""
+    res = sssp(
+        graph.project_to_simple(weight_col=None),
+        source,
+        weight_col=None,
+        engine=engine,
+        max_iter=max_iter,
+        num_partitions=num_partitions,
+        directed=directed,
+    )
+    res.state = res.state.select("id", F.col("dist").cast("long").alias("level"))
+    return res

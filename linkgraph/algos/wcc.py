@@ -32,6 +32,7 @@ def wcc(
     engine: SuperstepEngine | None = None,
     max_iter: int = 1000,
     num_partitions: int | None = None,
+    resume: bool = False,
 ) -> SuperstepResult:
     """Returns state (id: long, comp: long) with comp = min id of the
     weakly-connected component; exact convergence."""
@@ -54,9 +55,15 @@ def wcc(
     n = verts.count()
     # state: (id, comp, changed); init comp = id, everyone in frontier
     init = verts.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed")).repartition(P, "id")
-    frontier_size = {"n": n}
+    # lazily recomputed from state so a resumed run rebuilds the
+    # frontier size from the checkpointed `changed` column
+    frontier_size: dict[str, int | None] = {"n": None}
 
     def step(state: DataFrame, round_: int):
+        if frontier_size["n"] is None:
+            frontier_size["n"] = int(
+                state.agg(F.sum(F.col("changed").cast("long")).alias("c")).collect()[0]["c"] or 0
+            )
         dense = frontier_size["n"] * DENSE_SPARSE_RATIO > n
         senders = state if dense else state.where(F.col("changed"))
         msgs = (
@@ -75,18 +82,22 @@ def wcc(
                 (F.coalesce(F.col("cand"), F.col("comp")) < F.col("comp")).alias("changed"),
             )
         )
-        changed = new_state.agg(
-            F.sum(F.col("changed").cast("long")).alias("c")
-        ).collect()[0]["c"] or 0
-        frontier_size["n"] = int(changed)
-        return new_state, {
-            "halt": changed == 0,
-            "frontier": int(changed),
-            "mode": "dense" if dense else "sparse",
-            "edges_processed": n_edges,
-        }
 
-    result = eng.run(init, step, max_rounds=max_iter)
+        def finalize(df: DataFrame) -> dict:
+            changed = df.agg(
+                F.sum(F.col("changed").cast("long")).alias("c")
+            ).collect()[0]["c"] or 0
+            frontier_size["n"] = int(changed)
+            return {
+                "halt": changed == 0,
+                "frontier": int(changed),
+                "mode": "dense" if dense else "sparse",
+                "edges_processed": n_edges,
+            }
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter, resume=resume)
     result.state = result.state.select("id", "comp")
     edges.unpersist()
     return result

@@ -1,0 +1,150 @@
+"""Vectorized CSR-block kernels: the north-star execution path.
+
+The reference stores topology as per-fragment CSR (neighbor array +
+offsets, docs/analytical_engine/performance_tuning.md:42-86) and runs
+thread-parallel gather-scatter over it (ParallelEngine::ForEach,
+apps/pagerank/pagerank_networkx.h:65,108). The Spark re-expression:
+
+  * the edge set is aggregated ONCE into per-source adjacency blocks
+    (src, nbrs: array<long>) — exactly a CSR row: `nbrs` is the
+    indices array, the row boundary is the implicit indptr. The block
+    table is hash-partitioned by src and persisted, so it never moves
+    again (the reference's "mirrors stay put" design).
+  * each superstep joins the co-partitioned vertex state onto the
+    blocks (no edge shuffle — both sides share the src partitioning)
+    and runs an Arrow-batched `mapInPandas` kernel that does the
+    scatter in numpy: repeat each source's message over its out-list,
+    concatenate the neighbor arrays, and PRE-COMBINE per destination
+    inside the partition (np/pandas groupby-sum) before the single
+    (dst → contribution) shuffle. That pre-combine is the map-side
+    message combining of the reference's SyncStateOnOuterVertex
+    strategies (key_concepts.rst:127-143).
+
+No per-row Python anywhere: the kernel touches whole Arrow batches and
+every operation inside is a numpy/pandas vectorized call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.graph import Graph
+
+
+def adjacency_blocks(edges: DataFrame, num_partitions: int) -> DataFrame:
+    """CSR blocks (src: long, nbrs: array<long>, odeg: int) hash-
+    partitioned by src. Built once per job and persisted by callers."""
+    return (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"), F.count("*").cast("int").alias("odeg"))
+        .repartition(num_partitions, "src")
+    )
+
+
+def _scatter_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched gather-scatter: (nbrs, w) rows -> pre-combined
+    (dst, c) partials. Vectorized: repeat + concatenate + groupby."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        counts = pdf["odeg"].to_numpy()
+        w = np.repeat(pdf["w"].to_numpy(), counts)
+        dst = np.concatenate(pdf["nbrs"].to_numpy()) if len(pdf) else np.empty(0, np.int64)
+        out = pd.DataFrame({"dst": dst.astype(np.int64), "c": w})
+        # map-side combine: one partial row per distinct dst in the batch
+        yield out.groupby("dst", sort=False, as_index=False)["c"].sum()
+
+
+def pagerank_csr(
+    graph: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """PageRank with identical semantics to linkgraph.algos.pagerank
+    (pagerank_networkx.h:54-163 transcription) but with the CSR-block
+    scatter kernel instead of an edge join per superstep."""
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = graph.edges.select("src", "dst") if graph.directed else (
+        graph.to_undirected(dedup=True).symmetrized_edges().select("src", "dst")
+    )
+    adj = adjacency_blocks(edges, P).persist()
+    n_edges = adj.agg(F.sum("odeg")).collect()[0][0] or 0
+
+    verts = graph.deduced_vertices()
+    deg = (
+        verts.join(adj.select(F.col("src").alias("id"), "odeg"), "id", "left")
+        .select("id", F.coalesce("odeg", F.lit(0)).cast("long").alias("deg"))
+    )
+    n = deg.count()
+    if n == 0:
+        return SuperstepResult(
+            state=verts.select("id", F.lit(0.0).alias("rank")), rounds=0, converged=True
+        )
+
+    init = deg.select("id", "deg", F.lit(1.0 / n).alias("rank")).repartition(P, "id")
+    dangling_cell: dict[str, float | None] = {"mass": None}
+    base = (1.0 - alpha) / n
+
+    def step(state: DataFrame, round_: int):
+        state = state.drop("prev_rank")
+        if dangling_cell["mass"] is None:
+            dangling_cell["mass"] = (
+                state.agg(
+                    F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("d")
+                ).collect()[0]["d"]
+                or 0.0
+            )
+        dangling = dangling_cell["mass"]
+        # gather inputs: co-partitioned join (adj and msgs both hashed by src)
+        msgs_in = state.where(F.col("deg") > 0).select(
+            F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
+        )
+        partials = adj.join(msgs_in, "src").select("nbrs", "odeg", "w").mapInPandas(
+            _scatter_kernel, schema="dst long, c double"
+        )
+        contribs = partials.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("msg"))
+        new_state = (
+            state.withColumnRenamed("rank", "prev_rank")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce("msg", F.lit(0.0))
+                    + F.lit(alpha * dangling / n)
+                ).alias("rank"),
+                "prev_rank",
+            )
+        )
+        def finalize(df: DataFrame) -> dict:
+            agg = df.agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("dangling"),
+            ).collect()[0]
+            eps = agg["eps"] or 0.0
+            dangling_cell["mass"] = agg["dangling"] or 0.0
+            return {
+                "halt": eps < tol * n,
+                "l1_delta": eps,
+                "edges_processed": n_edges,
+                "mode": "csr",
+            }
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("id", "rank")
+    adj.unpersist()
+    return result

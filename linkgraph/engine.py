@@ -51,16 +51,21 @@ class SuperstepResult:
 class SuperstepEngine:
     """Runs ``step_fn`` until convergence with persistence + checkpoints.
 
-    step_fn(state: DataFrame, round: int) -> (new_state, metrics_dict)
-      metrics_dict may contain 'halt': True to vote-to-halt, plus any
-      scalars (e.g. l1_delta, frontier_size, msgs) — they are recorded
-      per superstep. The engine adds timing and lineage fields.
+    step_fn(state: DataFrame, round: int) -> (new_state, finalize)
+      where ``finalize(truncated_state) -> metrics_dict`` computes the
+      convergence aggregates (the Sum collectives) on the already
+      materialized state — so each superstep executes its plan exactly
+      once. ``metrics_dict`` may contain 'halt': True to vote-to-halt,
+      plus any scalars (l1_delta, frontier, ...). For backward
+      compatibility step_fn may return a plain metrics dict instead of
+      a callable (then the step computed its own aggregates).
 
-    Lineage control: each round's state is persisted; every
-    ``checkpoint_every`` rounds the plan is truncated either durably
-    (parquet write+read under checkpoint_dir) or in-memory
-    (localCheckpoint) — iterative joins otherwise grow the logical
-    plan unboundedly.
+    Lineage control: the plan is truncated EVERY round — durably
+    (parquet write+read under checkpoint_dir, on the
+    ``checkpoint_every`` cadence and at halt) or in-memory
+    (localCheckpoint). Without per-round truncation Catalyst
+    re-analyzes a logical plan that grows with the iteration count and
+    superstep latency climbs superlinearly.
     """
 
     def __init__(
@@ -87,9 +92,8 @@ class SuperstepEngine:
     def _metrics_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "metrics.jsonl")
 
-    def _write_checkpoint(self, state: DataFrame, round_: int, metrics: dict) -> DataFrame:
+    def _append_metrics_row(self, state: DataFrame, round_: int, metrics: dict) -> None:
         path = self._ckpt_path(round_)
-        state.write.mode("overwrite").parquet(path)
         if self.record_partition_lineage:
             lineage = [
                 {"partition": int(r["p"]), "rows": int(r["n"])}
@@ -109,7 +113,6 @@ class SuperstepEngine:
         }
         with open(self._metrics_path(), "a") as fh:
             fh.write(json.dumps(row) + "\n")
-        return self.spark.read.parquet(path)
 
     def latest_checkpoint(self) -> tuple[int, DataFrame] | None:
         """(round, state) of the newest durable checkpoint, or None —
@@ -143,36 +146,37 @@ class SuperstepEngine:
                 start_round, state = latest
                 start_round += 1
 
-        state = state.persist(self.storage_level)
-        state.count()  # materialize PEval input
+        state = state.localCheckpoint(eager=True)  # materialize PEval input
         all_metrics: list[dict[str, Any]] = []
         converged = False
         round_ = start_round
 
         while round_ < max_rounds:
             t0 = time.time()
-            new_state, metrics = step_fn(state, round_)
-            new_state = new_state.persist(self.storage_level)
-            # Materialize; step_fn usually already collected its
-            # convergence aggregate (the Sum collective), which also
-            # materializes — this count is the explicit barrier.
-            n_rows = new_state.count()
-            metrics = dict(metrics)
-            metrics.setdefault("rows", n_rows)
+            new_state, finalize = step_fn(state, round_)
+            on_cadence = self.checkpoint_dir and (round_ + 1) % self.checkpoint_every == 0
+            if on_cadence:
+                # durable truncation: the parquet write executes the
+                # superstep plan; the reread is a shallow scan
+                path = self._ckpt_path(round_)
+                new_state.write.mode("overwrite").parquet(path)
+                new_state = self.spark.read.parquet(path).persist(self.storage_level)
+            else:
+                # in-memory truncation (single execution, cached)
+                new_state = new_state.localCheckpoint(eager=True)
+
+            metrics = dict(finalize(new_state)) if callable(finalize) else dict(finalize)
+            metrics.setdefault("rows", new_state.count())
             metrics["superstep_sec"] = time.time() - t0
             metrics["round"] = round_
 
             halt = bool(metrics.pop("halt", False))
-            durable = self.checkpoint_dir and (
-                halt or (round_ + 1) % self.checkpoint_every == 0
-            )
-            if durable:
-                reread = self._write_checkpoint(new_state, round_, metrics)
-                new_state.unpersist()
-                new_state = reread.persist(self.storage_level)
-            elif (round_ + 1 - start_round) % self.checkpoint_every == 0:
-                # in-memory lineage truncation between durable snapshots
-                new_state = new_state.localCheckpoint(eager=True)
+            if self.checkpoint_dir and (halt or on_cadence):
+                # metrics/lineage row always accompanies a durable state;
+                # at halt the cached frame is dumped durably too
+                if not on_cadence:
+                    new_state.write.mode("overwrite").parquet(self._ckpt_path(round_))
+                self._append_metrics_row(new_state, round_, metrics)
 
             state.unpersist()
             state = new_state

@@ -1,0 +1,298 @@
+"""Training-data pipeline operators over the `documents` and
+`embeddings` tables: dedup (exact + MinHash-LSH + n-gram Jaccard),
+text statistics (token count, quality score, language id), document
+fingerprinting and embedding similarity search.
+
+All operators are pure `pyspark.sql.functions` plans — no Python UDFs
+anywhere, so everything stays inside whole-stage codegen and every
+derivation has an exact DuckDB SQL twin in __spark_entry__.py.
+
+Scale notes (100 TB disciplines):
+  * every pairwise op goes through an inverted-index join (shingle →
+    doc) or an LSH band join — never a cross join;
+  * exact dedup is one hash aggregation on sha256(text) with map-side
+    combine;
+  * MinHash signatures are computed by one explode + groupBy(doc,seed)
+    min-aggregate — linear in Σ|shingles|, shuffle keyed by
+    (doc, seed) so hub documents don't skew a single reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STOPWORDS = ["the", "a", "of", "to", "and"]
+LANG_MARKERS = [("en", "the"), ("de", "der"), ("fr", "le"), ("es", "el"), ("zh", "data")]
+MINHASH_SEEDS = 16
+LSH_BAND_ROWS = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens_col() -> F.Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def doc_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content invariant: (doc_id, content_sha). The same
+    sha256-equality check the graft's ETL carries through the vertex
+    table (linkgraph/etl.py file_vertices)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct
+    content hash. (content_sha, doc_id, n_dups)."""
+    return (
+        doc_sha(spark, sf_dir)
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokenization."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tokens_col()).cast("long").alias("n_tokens")
+    )
+
+
+def _tok_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, tok) exploded token stream."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(_tokens_col()).alias("pos", "tok"))
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    0.4·min(1, n_tokens/64) + 0.3·(1 − stopword_ratio) + 0.3·unique_ratio.
+    (doc_id, score) — score rounded to 8 decimals."""
+    toks = _tok_rows(spark, sf_dir)
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("tok").isin(STOPWORDS).cast("int")).alias("n_stop"),
+        F.countDistinct("tok").alias("n_uniq"),
+    )
+    return stats.select(
+        "doc_id",
+        F.round(
+            0.4 * F.least(F.lit(1.0), F.col("n") / F.lit(64.0))
+            + 0.3 * (1.0 - F.col("n_stop") / F.col("n"))
+            + 0.3 * (F.col("n_uniq") / F.col("n")),
+            8,
+        ).alias("score"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language guess: per-language marker-word counts,
+    argmax with (count DESC, lang ASC) tie-break; 'und' when no marker
+    hits. (doc_id, pred_lang)."""
+    from pyspark.sql.window import Window
+
+    toks = _tok_rows(spark, sf_dir)
+    markers = spark.createDataFrame(LANG_MARKERS, "lang string, marker string")
+    hits = (
+        toks.join(F.broadcast(markers), toks["tok"] == markers["marker"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # deterministic argmax: (count DESC, lang ASC) — never first()
+    best = (
+        hits.withColumn("mx", F.max("cnt").over(Window.partitionBy("doc_id")))
+        .where(F.col("cnt") == F.col("mx"))
+        .groupBy("doc_id")
+        .agg(F.min("lang").alias("pred_lang"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select("doc_id", F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"))
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (doc_id, gram)."""
+    arr = _tokens_col()
+    gram_expr = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(gram_expr).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.05
+) -> DataFrame:
+    """Near-duplicate pairs by token-n-gram Jaccard via an inverted
+    shingle index (never a cross join): (a, b, jaccard) with a < b and
+    jaccard ≥ threshold, rounded to 8 decimals."""
+    sh = _shingles(spark, sf_dir, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "gram")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 8
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _hex_hash(col: F.Column) -> F.Column:
+    """Deterministic 60-bit integer hash from md5 — identical in
+    Spark (conv/md5) and DuckDB ('0x'||substr(md5)::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, n_seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash): for each seed,
+    min over the doc's 3-gram shingles of a 60-bit md5 hash. One
+    explode + one min-aggregate — linear, map-side combinable."""
+    sh = _shingles(spark, sf_dir, 3)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed"),
+        "gram",
+    )
+    return (
+        seeded.select(
+            "doc_id",
+            "seed",
+            _hex_hash(F.concat_ws("|", F.col("seed"), F.col("gram"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = MINHASH_SEEDS,
+    band_rows: int = LSH_BAND_ROWS,
+) -> DataFrame:
+    """LSH banding over the MinHash signatures: docs agreeing on all
+    band_rows hashes of any band become a candidate pair (a, b), a<b.
+    The join is keyed by (band, band_hash) — the classic
+    shingle→minhash→band→bucket-join, no cross join anywhere."""
+    sig = minhash_signatures(spark, sf_dir, n_seeds)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("bh"))
+    )
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
+    """Document fingerprint: classic SimHash over whitespace tokens.
+    Each token hashes to `bits` bits (md5-derived); bit b of the
+    fingerprint is 1 iff Σ_tokens (±1 per bit) > 0.
+    (doc_id, simhash: long). Pure relational: tokens × bits rows,
+    one groupBy — vectorized, no UDF."""
+    toks = _tok_rows(spark, sf_dir).select("doc_id", "tok")
+    h = toks.select("doc_id", _hex_hash(F.col("tok")).alias("h"))
+    per_bit = (
+        h.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+            "h",
+        )
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias("w"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def embedding_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table — the exact
+    baseline for ANN. Query set = vec_id < n_queries; for each query,
+    the k nearest other vectors by (cosine DESC, vec_id ASC).
+    (q, vec_id, rank, sim) with sim rounded to 6 decimals.
+
+    The dot product is a JVM-side fold (zip_with + aggregate), not a
+    UDF. At scale the query side is broadcast (small) while the
+    candidate side streams — shuffle-free until the per-query top-k
+    aggregation."""
+    from pyspark.sql.window import Window
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    q = emb.select(F.col("vec_id").alias("q"), F.col("v").alias("qv")).where(
+        F.col("q") < n_queries
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q"))
+        .select(
+            "q",
+            "vec_id",
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim"))
+    )

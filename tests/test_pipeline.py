@@ -1,0 +1,102 @@
+"""Training-data pipeline operators — semantic unit tests on tiny
+in-memory documents (the sf-dir parquet path is exercised by the
+driver's oracle gate and tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from linkgraph import pipeline as pl
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+    (1, "the quick brown fox jumps over the lazy cat", "en", "s0", 43),
+    (2, "der schnelle braune fuchs", "de", "s1", 25),
+    (3, "the quick brown fox jumps over the lazy dog", "en", "s2", 43),  # exact dup of 0
+    (4, "completely different words here nothing shared", "en", "s3", 46),
+]
+
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    emb = [(i, [float(i == j) for j in range(4)] if i < 3 else [0.5, 0.5, 0.0, 0.0], 0) for i in range(5)]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_doc_sha_invariant(spark, doc_dir):
+    got = {r["doc_id"]: r["content_sha"] for r in pl.doc_sha(spark, doc_dir).collect()}
+    for doc_id, text, *_ in DOCS:
+        assert got[doc_id] == hashlib.sha256(text.encode()).hexdigest()
+
+
+def test_dedup_exact(spark, doc_dir):
+    rows = pl.dedup_exact(spark, doc_dir).collect()
+    assert len(rows) == 4  # 5 docs, one exact dup
+    by_id = {r["doc_id"]: r["n_dups"] for r in rows}
+    assert by_id[0] == 2  # representative = min(0, 3)
+    assert 3 not in by_id
+
+
+def test_token_count(spark, doc_dir):
+    got = {r["doc_id"]: r["n_tokens"] for r in pl.token_count(spark, doc_dir).collect()}
+    assert got[0] == 9 and got[2] == 4
+
+
+def test_quality_score_bounds(spark, doc_dir):
+    rows = pl.quality_score(spark, doc_dir).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+
+
+def test_lang_id(spark, doc_dir):
+    got = {r["doc_id"]: r["pred_lang"] for r in pl.lang_id(spark, doc_dir).collect()}
+    assert got[0] == "en"  # 'the' hits
+    assert got[2] == "de"  # 'der' hits
+    assert got[4] == "und"  # no markers
+
+
+def test_ngram_jaccard_finds_near_dup(spark, doc_dir):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             pl.ngram_jaccard_pairs(spark, doc_dir, threshold=0.05).collect()}
+    # docs 0 and 1 share 6 of 8 distinct 3-grams -> jaccard 6/8 = 0.75
+    assert pairs[(0, 1)] == pytest.approx(0.75)
+    # exact dup pair scores 1.0
+    assert pairs[(0, 3)] == pytest.approx(1.0)
+    assert (0, 4) not in pairs
+
+
+def test_minhash_and_lsh(spark, doc_dir):
+    sig = pl.minhash_signatures(spark, doc_dir).collect()
+    assert len(sig) == 5 * pl.MINHASH_SEEDS
+    # identical docs have identical signatures
+    s0 = sorted((r["seed"], r["minhash"]) for r in sig if r["doc_id"] == 0)
+    s3 = sorted((r["seed"], r["minhash"]) for r in sig if r["doc_id"] == 3)
+    assert s0 == s3
+    cands = {(r["a"], r["b"]) for r in pl.lsh_candidate_pairs(spark, doc_dir).collect()}
+    assert (0, 3) in cands  # exact dups always collide in every band
+    assert (0, 4) not in cands
+
+
+def test_simhash_similarity_order(spark, doc_dir):
+    got = {r["doc_id"]: r["simhash"] for r in pl.simhash(spark, doc_dir).collect()}
+    assert got[0] == got[3]  # identical text -> identical fingerprint
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # near-dup closer than unrelated doc
+    assert ham(got[0], got[1]) < ham(got[0], got[4])
+
+
+def test_embedding_topk(spark, doc_dir):
+    rows = pl.embedding_topk(spark, doc_dir, n_queries=1, k=2).collect()
+    assert [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])][0] in (3, 4)
+    assert all(r["q"] == 0 for r in rows)
+    assert len(rows) == 2

@@ -1,0 +1,78 @@
+"""Two-parallelism scaling evidence (the BASELINE.json criterion:
+throughput scaling efficiency ≥0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the same PageRank job runs
+at local[8] and local[32] on the SAME deterministic synthetic graph
+(large enough that compute dominates fixed overheads), and we report
+edges-processed/sec per superstep at both plus the efficiency
+  eff = (throughput_32 / throughput_8) / (32 / 8).
+
+Each parallelism level runs in its own subprocess (one JVM per
+master). Results are printed as JSON and appended to BASELINE.md by
+the caller.
+
+Usage: python tools/scaling_bench.py [n_vertices] [avg_degree] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from linkgraph.session import get_spark
+from linkgraph.datagen import skewed_graph
+from linkgraph.graph import Graph
+from linkgraph.algos.pagerank import pagerank
+
+cpus = int(sys.argv[1]); nv = int(sys.argv[2]); deg = int(sys.argv[3]); rounds = int(sys.argv[4])
+spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+e = skewed_graph(spark, n_vertices=nv, avg_degree=deg, seed=42).repartition(cpus, "src").persist()
+n_edges = e.count()
+g = Graph.from_edges(e, directed=True)
+# warmup superstep machinery (JIT, codegen caches)
+pagerank(g, max_iter=1, tol=0.0)
+t0 = time.time()
+res = pagerank(g, max_iter=rounds, tol=0.0)
+res.state.count()
+wall = time.time() - t0
+per_step = wall / rounds
+print(json.dumps({{"cpus": cpus, "n_edges": n_edges, "rounds": rounds,
+                  "wall_s": round(wall, 2), "sec_per_superstep": round(per_step, 3),
+                  "edges_per_sec_per_superstep": round(n_edges / per_step, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(repo: str, cpus: int, nv: int, deg: int, rounds: int) -> dict:
+    code = WORKER.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(nv), str(deg), str(rounds)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    deg = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    lo = run_level(repo, 8, nv, deg, rounds)
+    hi = run_level(repo, 32, nv, deg, rounds)
+    eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / (32 / 8)
+    print(json.dumps({
+        "job": "pagerank_fixed_rounds",
+        "n_vertices": nv, "avg_degree": deg, "rounds": rounds,
+        "local8": lo, "local32": hi,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
