@@ -41,6 +41,9 @@ HITS_ITERS = 20
 BFS_LAYERS = 30
 KCORE_K = 10
 KCORE_LAYERS = 40
+EIG_ITERS = 10
+KATZ_ITERS = 10
+KATZ_ALPHA = 0.005
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +160,30 @@ def _q_kcore(spark, sf_dir):
     return res.state.select("id", "in_core")
 
 
+def _q_eigenvector(spark, sf_dir):
+    from linkgraph.algos.centrality import eigenvector_centrality
+
+    res = eigenvector_centrality(part_graph(spark, sf_dir), max_iter=EIG_ITERS, tol=0.0)
+    return res.state.select("id", F.round("centrality", 8).alias("centrality"))
+
+
+def _q_katz(spark, sf_dir):
+    from linkgraph.algos.centrality import katz_centrality
+
+    res = katz_centrality(
+        part_graph(spark, sf_dir), alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ITERS, tol=0.0
+    )
+    return res.state.select("id", F.round("centrality", 8).alias("centrality"))
+
+
+def _q_blob_stats(spark, sf_dir):
+    """Multimodal path: binary blob column → Arrow-batched mapInPandas
+    kernel (linkgraph/multimodal.py); sha256 is the per-row invariant."""
+    from linkgraph.multimodal import blob_stats
+
+    return blob_stats(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph ETL + flagship algorithms (SURVEY.md §2.2)
@@ -174,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "hits": _q_hits,
         "kcore": _q_kcore,
+        "eigenvector": _q_eigenvector,
+        "katz": _q_katz,
         # training-data pipeline operators (documents/embeddings)
         "doc_sha": pl.doc_sha,
         "dedup_exact": pl.dedup_exact,
@@ -185,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": pl.lsh_candidate_pairs,
         "simhash": pl.simhash,
         "embedding_topk": pl.embedding_topk,
+        "blob_stats": _q_blob_stats,
     }
 
 
@@ -350,6 +380,52 @@ def _kcore_sql(k: int = KCORE_K, layers: int = KCORE_LAYERS) -> str:
     return "\n".join(parts)
 
 
+def _eigenvector_sql(iters: int = EIG_ITERS) -> str:
+    """Unrolled shifted power iteration x' = normalize(x + Aᵀx) on the
+    directed edge set."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        ", y0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""", raw{k} AS MATERIALIZED (
+  SELECT v.id, v.x + coalesce(m.s, 0.0) AS x
+  FROM y{p} v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.x) AS s FROM edges e JOIN y{p} r ON r.id = e.src
+    GROUP BY e.dst) m ON m.id = v.id)
+, y{k} AS MATERIALIZED (
+  SELECT id, x / (SELECT CASE WHEN sqrt(sum(x*x)) > 0 THEN sqrt(sum(x*x)) ELSE 1.0 END FROM raw{k}) AS x
+  FROM raw{k})"""
+        )
+    parts.append(f"SELECT id, round(x, 8) AS centrality FROM y{iters}")
+    return "\n".join(parts)
+
+
+def _katz_sql(iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA, beta: float = 1.0) -> str:
+    """Unrolled Katz series x' = alpha·Aᵀx + beta, final L2 normalize."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        f", z0 AS MATERIALIZED (SELECT id, {beta} AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""", z{k} AS MATERIALIZED (
+  SELECT v.id, CAST({alpha} AS DOUBLE) * coalesce(m.s, 0.0) + CAST({beta} AS DOUBLE) AS x
+  FROM z{p} v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.x) AS s FROM edges e JOIN z{p} r ON r.id = e.src
+    GROUP BY e.dst) m ON m.id = v.id)"""
+        )
+    parts.append(
+        f"SELECT id, round(x / (SELECT CASE WHEN sqrt(sum(x*x)) > 0"
+        f" THEN sqrt(sum(x*x)) ELSE 1.0 END FROM z{iters}), 8) AS centrality FROM z{iters}"
+    )
+    return "\n".join(parts)
+
+
 _TRI_SQL_BODY = """
 , degt AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
 , ori AS MATERIALIZED (
@@ -446,6 +522,12 @@ FROM verts v LEFT JOIN pv ON pv.id = v.id LEFT JOIN degt d ON d.id = v.id"""
     sql["sssp"] = _sssp_sql()
     sql["hits"] = _hits_sql()
     sql["kcore"] = _kcore_sql()
+    sql["eigenvector"] = _eigenvector_sql()
+    sql["katz"] = _katz_sql()
+    sql["blob_stats"] = (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+        " sha256(text) AS content_sha FROM documents"
+    )
     sql["doc_sha"] = "SELECT doc_id, sha256(text) AS content_sha FROM documents"
     sql["dedup_exact"] = (
         "SELECT sha256(text) AS content_sha, min(doc_id) AS doc_id,"

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.engine import SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
+from linkgraph.joins import scatter_join, state_join
 
 
 def cdlp(
@@ -45,12 +46,13 @@ def cdlp(
     )
     n_edges = edges.count()
     verts = graph.deduced_vertices()
+    n_verts = verts.count()
 
     init = verts.select("id", F.col("id").alias("label")).repartition(P, "id")
 
     def step(state: DataFrame, round_: int):
         hist = (
-            edges.join(state.select(F.col("id").alias("dst"), "label"), "dst")
+            scatter_join(edges, state.select(F.col("id").alias("dst"), "label"), "dst", n_verts)
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -60,7 +62,7 @@ def cdlp(
             .select("id", (-F.col("b.neg")).alias("new_label"))
         )
         new_state = (
-            state.join(best, "id", "left")
+            state_join(state, best)
             .select(
                 "id",
                 F.coalesce("new_label", "label").alias("label"),

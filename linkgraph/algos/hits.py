@@ -2,12 +2,16 @@
 
 Semantics per analytical_engine/apps/hits/hits.h (gs::HITS, registry
 .gs_conf.yaml:123-130): alternating power iteration on the directed
-graph with L2 normalization of both vectors every round (the Sum
-collectives at hits.h:163-178), stopping when the L1 change of the
-authority vector falls below `tol` or after max_iter rounds.
+graph, L2 normalization of both vectors every round (the Sum
+collectives at hits.h:163-178), stopping when the summed L1 change of
+hub+auth falls below `tol` or after max_iter rounds. Init hub=auth=1.
 
-Per superstep: two aggregations (auth from in-edges of hubs, hub from
-out-edges of auths) + two scalar L2 norms — all one collect()."""
+Execution shape: the per-round state carries the RAW (unnormalized)
+gather sums; the normalization constants are driver-side scalars
+computed in finalize() on the materialized state and folded into the
+NEXT round's plan as literals. That keeps each superstep a single
+plan execution — no mid-plan collect, no extra persist (the same
+trick as PageRank's carried dangling mass)."""
 
 from __future__ import annotations
 
@@ -15,6 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.engine import SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
+from linkgraph.joins import scatter_join, state_join
 
 
 def hits(
@@ -45,56 +50,77 @@ def hits(
             rounds=0, converged=True,
         )
 
-    init = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")).repartition(P, "id")
+    # raw state: (id, ra, rh, prev_hub, prev_auth); true hub = rh/nh,
+    # true auth = ra/na with the norms kept driver-side
+    init = verts.select(
+        "id",
+        F.lit(1.0).alias("ra"),
+        F.lit(1.0).alias("rh"),
+        F.lit(1.0).alias("prev_hub"),
+        F.lit(1.0).alias("prev_auth"),
+    ).repartition(P, "id")
+    norms: dict[str, float | None] = {"na": 1.0, "nh": 1.0}
 
     def step(state: DataFrame, round_: int):
-        state = state.drop("prev_hub", "prev_auth")
-        # auth'[v] = Σ_{u→v} hub[u], then L2 normalize
-        raw_auth = (
-            edges.join(state.select(F.col("id").alias("src"), "hub"), "src")
+        if norms["na"] is None:  # resumed from checkpoint: rebuild scales
+            agg = state.agg(
+                F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("na"),
+                F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("nh"),
+            ).collect()[0]
+            norms["na"] = agg["na"] or 1.0
+            norms["nh"] = agg["nh"] or 1.0
+        na_p = norms["na"] if norms["na"] > 0 else 1.0
+        nh_p = norms["nh"] if norms["nh"] > 0 else 1.0
+
+        hub_prev = state.select(
+            "id", (F.col("rh") / F.lit(nh_p)).alias("hub")
+        )
+        # auth_raw[v] = Σ_{u→v} hub[u]
+        ra = (
+            scatter_join(edges, hub_prev.withColumnRenamed("id", "src"), "src", n)
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("ra"))
+            .agg(F.sum("hub").alias("ra_new"))
         )
-        with_auth = state.join(raw_auth, "id", "left").select(
-            "id", F.col("hub").alias("prev_hub"), F.col("auth").alias("prev_auth"),
-            F.coalesce("ra", F.lit(0.0)).alias("ra"),
-        )
-        # hub'[u] = Σ_{u→v} auth'[v] (using the un-normalized auth';
-        # normalization constants factor out and are applied jointly)
-        raw_hub = (
-            edges.join(with_auth.select(F.col("id").alias("dst"), F.col("ra")), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("ra").alias("rh"))
-        )
-        combined = with_auth.join(raw_hub, "id", "left").select(
-            "id", "prev_hub", "prev_auth", "ra", F.coalesce("rh", F.lit(0.0)).alias("rh")
-        ).persist()
-        norms = combined.agg(
-            F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("na"),
-            F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("nh"),
-        ).collect()[0]
-        na = norms["na"] or 1.0
-        nh = norms["nh"] or 1.0
-        na = na if na > 0 else 1.0
-        nh = nh if nh > 0 else 1.0
-        new_state = combined.select(
+        with_ra = state.select(
             "id",
-            (F.col("rh") / nh).alias("hub"),
-            (F.col("ra") / na).alias("auth"),
-            "prev_hub",
-            "prev_auth",
+            (F.col("rh") / F.lit(nh_p)).alias("prev_hub"),
+            (F.col("ra") / F.lit(na_p)).alias("prev_auth"),
+        ).hint("SHUFFLE_HASH").join(ra.hint("SHUFFLE_HASH"), "id", "left").withColumn("ra_new", F.coalesce("ra_new", F.lit(0.0)))
+        # hub_raw[u] = Σ_{u→v} auth_raw[v] (norms factor out)
+        rh = (
+            scatter_join(
+                edges, with_ra.select(F.col("id").alias("dst"), F.col("ra_new")), "dst", n
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("ra_new").alias("rh_new"))
+        )
+        new_state = (
+            state_join(with_ra, rh)
+            .select(
+                "id",
+                F.col("ra_new").alias("ra"),
+                F.coalesce("rh_new", F.lit(0.0)).alias("rh"),
+                "prev_hub",
+                "prev_auth",
+            )
         )
 
         def finalize(df: DataFrame) -> dict:
-            # L1 change of BOTH vectors, like the reference's paired
-            # Sum collectives (hits.h:163-178)
+            g1 = df.agg(
+                F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("na"),
+                F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("nh"),
+            ).collect()[0]
+            na = g1["na"] or 1.0
+            nh = g1["nh"] or 1.0
+            na = na if na > 0 else 1.0
+            nh = nh if nh > 0 else 1.0
+            norms["na"], norms["nh"] = na, nh
             eps = df.agg(
                 F.sum(
-                    F.abs(F.col("hub") - F.col("prev_hub"))
-                    + F.abs(F.col("auth") - F.col("prev_auth"))
+                    F.abs(F.col("rh") / F.lit(nh) - F.col("prev_hub"))
+                    + F.abs(F.col("ra") / F.lit(na) - F.col("prev_auth"))
                 ).alias("e")
             ).collect()[0]["e"] or 0.0
-            combined.unpersist()
             return {
                 "halt": eps < tol,
                 "l1_delta": eps,
@@ -104,6 +130,12 @@ def hits(
         return new_state, finalize
 
     result = eng.run(init, step, max_rounds=max_iter)
-    result.state = result.state.select("id", "hub", "auth")
+    na = norms["na"] if norms["na"] else 1.0
+    nh = norms["nh"] if norms["nh"] else 1.0
+    result.state = result.state.select(
+        "id",
+        (F.col("rh") / F.lit(nh if nh > 0 else 1.0)).alias("hub"),
+        (F.col("ra") / F.lit(na if na > 0 else 1.0)).alias("auth"),
+    )
     edges.unpersist()
     return result

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.engine import SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
+from linkgraph.joins import scatter_join, state_join
 
 
 def pagerank(
@@ -43,6 +44,7 @@ def pagerank(
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
     resume: bool = False,
+    broadcast_threshold: int = 500_000,
 ) -> SuperstepResult:
     """Returns state (id: long, rank: double); converged per tol·N L1 rule.
 
@@ -101,20 +103,23 @@ def pagerank(
                 or 0.0
             )
         dangling = dangling_cell["mass"]
+        # scatter: the V-row message frame joins the cached E-row edge
+        # frame. Broadcast it while it fits (small-V regime: no edge
+        # movement at all); beyond the threshold fall back to a
+        # shuffled-hash join against the edges' existing src hash
+        # partitioning — never a sort-merge (that would re-sort E rows
+        # every superstep).
+        msgs_in = state.where(F.col("deg") > 0).select(
+            F.col("id").alias("src"),
+            (F.col("rank") / F.col("deg")).alias("w"),
+        )
         contribs = (
-            edges.join(
-                state.where(F.col("deg") > 0).select(
-                    F.col("id").alias("src"),
-                    (F.col("rank") / F.col("deg")).alias("w"),
-                ),
-                "src",
-            )
+            scatter_join(edges, msgs_in, "src", n, broadcast_threshold)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("w").alias("msg"))
         )
         new_state = (
-            state.withColumnRenamed("rank", "prev_rank")
-            .join(contribs, "id", "left")
+            state_join(state.withColumnRenamed("rank", "prev_rank"), contribs)
             .select(
                 "id",
                 "deg",

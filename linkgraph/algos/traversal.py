@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.engine import SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
+from linkgraph.joins import scatter_join, state_join
 
 
 def sssp(
@@ -58,6 +59,7 @@ def sssp(
     n_edges = edges.count()
 
     verts = graph.deduced_vertices()
+    n_verts = verts.count()
     INF = float("inf")
     init = verts.select(
         "id",
@@ -70,12 +72,12 @@ def sssp(
             F.col("id").alias("src"), F.col("dist").alias("sd")
         )
         relax = (
-            edges.join(frontier, "src")
+            scatter_join(edges, frontier, "src", n_verts)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(F.col("sd") + F.col("w")).alias("cand"))
         )
         new_state = (
-            state.join(relax, "id", "left")
+            state_join(state, relax)
             .select(
                 "id",
                 F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("dist"),

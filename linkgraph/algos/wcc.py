@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.engine import SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
+from linkgraph.joins import scatter_join, state_join
 
 DENSE_SPARSE_RATIO = 50  # |frontier| > |V|/50 -> dense (flash_utils.h:36)
 
@@ -67,15 +68,17 @@ def wcc(
         dense = frontier_size["n"] * DENSE_SPARSE_RATIO > n
         senders = state if dense else state.where(F.col("changed"))
         msgs = (
-            edges.join(
+            scatter_join(
+                edges,
                 senders.select(F.col("id").alias("src"), F.col("comp").alias("cand")),
                 "src",
+                n,
             )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cand").alias("cand"))
         )
         new_state = (
-            state.join(msgs, "id", "left")
+            state_join(state, msgs)
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))).alias("comp"),

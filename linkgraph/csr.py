@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.engine import SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
+from linkgraph.joins import state_join
 
 
 def adjacency_blocks(edges: DataFrame, num_partitions: int) -> DataFrame:
@@ -110,13 +111,12 @@ def pagerank_csr(
         msgs_in = state.where(F.col("deg") > 0).select(
             F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
         )
-        partials = adj.join(msgs_in, "src").select("nbrs", "odeg", "w").mapInPandas(
+        partials = adj.join(msgs_in.hint("SHUFFLE_HASH"), "src").select("nbrs", "odeg", "w").mapInPandas(
             _scatter_kernel, schema="dst long, c double"
         )
         contribs = partials.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("msg"))
         new_state = (
-            state.withColumnRenamed("rank", "prev_rank")
-            .join(contribs, "id", "left")
+            state_join(state.withColumnRenamed("rank", "prev_rank"), contribs)
             .select(
                 "id",
                 "deg",

@@ -215,3 +215,48 @@ def hits(src, dst, max_iter=100, tol=1e-8, ids=None):
             break
         hub, auth = new_hub, new_auth
     return ids, hub, auth
+
+
+def eigenvector_centrality(src, dst, directed=True, max_iter=100, tol=1e-6, ids=None):
+    """Shifted power iteration x' = normalize(x + A^T x), networkx
+    semantics (reference eigenvector app mirrors nx). Returns (ids, x)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    if not directed:
+        pairs = np.unique(np.stack([np.concatenate([s, d]), np.concatenate([d, s])], axis=1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+    else:
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+    x = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        xlast = x
+        x = xlast + np.bincount(d, weights=xlast[s], minlength=n)
+        nrm = np.linalg.norm(x) or 1.0
+        x = x / nrm
+        if np.abs(x - xlast).sum() < n * tol:
+            break
+    return ids, x
+
+
+def katz_centrality(src, dst, alpha=0.1, beta=1.0, directed=True, max_iter=1000, tol=1e-6, ids=None):
+    """Katz series x' = alpha * A^T x + beta, L2-normalized at the end.
+    Returns (ids, x)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    if not directed:
+        pairs = np.unique(np.stack([np.concatenate([s, d]), np.concatenate([d, s])], axis=1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+    else:
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+    x = np.full(n, beta, dtype=np.float64)
+    for _ in range(max_iter):
+        xlast = x
+        x = alpha * np.bincount(d, weights=xlast[s], minlength=n) + beta
+        if np.abs(x - xlast).sum() < n * tol:
+            break
+    nrm = np.linalg.norm(x) or 1.0
+    return ids, x / nrm

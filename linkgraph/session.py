@@ -48,9 +48,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # iterative jobs re-reference the same state frames; in-memory columnar
         .config("spark.sql.inMemoryColumnarStorage.compressed", "true")
+        # iterative scatter joins: never sort the big cached edge side
+        # (SMJ re-sorts E rows every superstep; hash join streams it)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # keep plans for iterative lineage manageable
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs executors inside the driver JVM: size the heap
+        # for cache + per-task shuffle buffers x cores, or GC dominates
+        # and scaling flattens (measured: 8g starves 32 tasks, 48g G1 full-GC
+        # pauses dominate; 12g is the sweet spot on this 125G box)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

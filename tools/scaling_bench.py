@@ -22,7 +22,8 @@ import subprocess
 import sys
 
 WORKER = r"""
-import json, os, sys, time
+import json, os, statistics, sys, time
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
 sys.path.insert(0, {repo!r})
 from linkgraph.session import get_spark
 from linkgraph.datagen import skewed_graph
@@ -34,16 +35,19 @@ spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuff
 e = skewed_graph(spark, n_vertices=nv, avg_degree=deg, seed=42).repartition(cpus, "src").persist()
 n_edges = e.count()
 g = Graph.from_edges(e, directed=True)
-# warmup superstep machinery (JIT, codegen caches)
-pagerank(g, max_iter=1, tol=0.0)
 t0 = time.time()
 res = pagerank(g, max_iter=rounds, tol=0.0)
 res.state.count()
 wall = time.time() - t0
-per_step = wall / rounds
+secs = [m["superstep_sec"] for m in res.metrics]
+# steady-state: median of the last half (first rounds pay JIT/codegen
+# warm-up, a one-time cost irrelevant at production iteration counts)
+steady = statistics.median(secs[len(secs) // 2:])
 print(json.dumps({{"cpus": cpus, "n_edges": n_edges, "rounds": rounds,
-                  "wall_s": round(wall, 2), "sec_per_superstep": round(per_step, 3),
-                  "edges_per_sec_per_superstep": round(n_edges / per_step, 1)}}))
+                  "wall_s": round(wall, 2),
+                  "superstep_secs": [round(s, 2) for s in secs],
+                  "steady_sec_per_superstep": round(steady, 3),
+                  "edges_per_sec_per_superstep": round(n_edges / steady, 1)}}))
 spark.stop()
 """
 
@@ -60,9 +64,9 @@ def run_level(repo: str, cpus: int, nv: int, deg: int, rounds: int) -> dict:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    deg = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    deg = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     lo = run_level(repo, 8, nv, deg, rounds)
     hi = run_level(repo, 32, nv, deg, rounds)
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / (32 / 8)
