@@ -6,7 +6,9 @@ variant apps/flash/clustering/lpa.h:47-77 — init label[v] = v;
 synchronous rounds; each vertex adopts the MOST FREQUENT label among
 its neighbors with ties broken by MINIMUM label; stop after max_round
 rounds or when no label changes. Isolated vertices keep their own
-label. Undirected view (both edge directions).
+label. Undirected view (both edge directions, DEDUPED — a u↔v pair
+counts each neighbor's label once; the numpy oracle and the DuckDB
+gate oracle encode the same interpretation).
 
 Spark plan per superstep — two aggregations, no window function:
   edges ⋈ state on dst  →  groupBy(src, label).count()   (histogram)

@@ -166,7 +166,6 @@ class SuperstepEngine:
                 new_state = new_state.localCheckpoint(eager=True)
 
             metrics = dict(finalize(new_state)) if callable(finalize) else dict(finalize)
-            metrics.setdefault("rows", new_state.count())
             metrics["superstep_sec"] = time.time() - t0
             metrics["round"] = round_
 
