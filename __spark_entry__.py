@@ -129,6 +129,12 @@ def _q_transitivity(spark, sf_dir):
     )
 
 
+def _q_avg_clustering(spark, sf_dir):
+    """Average clustering coefficient (apps/clustering/avg_clustering.h)."""
+    g = part_graph(spark, sf_dir)
+    return lcc(g).agg(F.round(F.avg("lcc"), 8).alias("avg_clustering"))
+
+
 def _q_bfs(spark, sf_dir):
     """BFS levels from the min vertex id, undirected view."""
     g = part_graph(spark, sf_dir)
@@ -197,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "lcc": _q_lcc,
         "transitivity": _q_transitivity,
+        "avg_clustering": _q_avg_clustering,
         "bfs": _q_bfs,
         "sssp": _q_sssp,
         "hits": _q_hits,
@@ -517,6 +524,18 @@ FROM verts v LEFT JOIN pv ON pv.id = v.id LEFT JOIN degt d ON d.id = v.id"""
         f"WITH {PART_EDGES_SQL}{_TRI_SQL_BODY}"
         " SELECT round(3.0 * (SELECT count(*) FROM tri)"
         " / (SELECT sum(degree * (degree - 1) / 2) FROM degt), 8) AS transitivity"
+    )
+    sql["avg_clustering"] = (
+        f"WITH {PART_EDGES_SQL}{_TRI_SQL_BODY}"
+        """, corners AS (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+, pv AS (SELECT id, count(*) AS tri FROM corners GROUP BY id)
+, percoef AS (
+    SELECT CASE WHEN coalesce(d.degree, 0) >= 2
+           THEN 2.0 * coalesce(pv.tri, 0) / (d.degree * (d.degree - 1))
+           ELSE 0.0 END AS lcc
+    FROM verts v LEFT JOIN pv ON pv.id = v.id LEFT JOIN degt d ON d.id = v.id)
+SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     )
     sql["bfs"] = _bfs_sql()
     sql["sssp"] = _sssp_sql()
