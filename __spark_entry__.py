@@ -135,11 +135,24 @@ def _q_avg_clustering(spark, sf_dir):
     return lcc(g).agg(F.round(F.avg("lcc"), 8).alias("avg_clustering"))
 
 
+def _assert_unroll(res, budget: int, name: str) -> None:
+    """The DuckDB oracles unroll a FIXED number of layers while the
+    Spark side iterates to fixpoint. If the fixpoint ever needs more
+    rounds than the unroll (deeper graph at a different sf), the
+    oracle would be silently divergent — fail loudly instead."""
+    if res.rounds > budget:
+        raise RuntimeError(
+            f"{name}: fixpoint took {res.rounds} rounds > oracle unroll "
+            f"budget {budget}; regenerate the oracle with more layers"
+        )
+
+
 def _q_bfs(spark, sf_dir):
     """BFS levels from the min vertex id, undirected view."""
     g = part_graph(spark, sf_dir)
     source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
     res = bfs(g, source=int(source), directed=False)
+    _assert_unroll(res, BFS_LAYERS, "bfs")
     return res.state.select("id", "level")
 
 
@@ -150,6 +163,7 @@ def _q_sssp(spark, sf_dir):
     g = Graph.from_edges(edges, directed=False, weight_col="weight")
     source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
     res = sssp(g, source=int(source), weight_col="weight", directed=False)
+    _assert_unroll(res, BFS_LAYERS, "sssp")
     return res.state.select("id", F.round("dist", 8).alias("dist"))
 
 
@@ -163,6 +177,7 @@ def _q_hits(spark, sf_dir):
 
 def _q_kcore(spark, sf_dir):
     res = kcore(part_graph(spark, sf_dir), k=KCORE_K)
+    _assert_unroll(res, KCORE_LAYERS, "kcore")
     return res.state.select("id", "in_core")
 
 

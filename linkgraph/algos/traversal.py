@@ -16,6 +16,8 @@ both; level = superstep index.
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.engine import SuperstepEngine, SuperstepResult
@@ -113,9 +115,19 @@ def bfs(
     num_partitions: int | None = None,
     directed: bool | None = None,
 ) -> SuperstepResult:
-    """BFS levels from source: (id: long, level: long); unreached = -1."""
+    """BFS levels from source: (id: long, level: long); unreached = -1.
+
+    Unit weights are forced: project_to_simple() keeps the graph's
+    weight_col (its `or` fallback cannot express "explicitly None"),
+    so the projection is stripped of it here — otherwise sssp's own
+    fallback would silently turn BFS levels into weighted distances.
+    """
     res = sssp(
-        graph.project_to_simple(weight_col=None),
+        replace(
+            graph.project_to_simple(weight_col=None),
+            edges=graph.edges.select("src", "dst"),
+            weight_col=None,
+        ),
         source,
         weight_col=None,
         engine=engine,

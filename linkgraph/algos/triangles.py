@@ -47,23 +47,29 @@ def _oriented(graph: Graph):
     return e, deg, verts
 
 
-def triangle_corners(graph: Graph) -> DataFrame:
-    """All triangles as (x, y, z) rows, each triangle exactly once."""
-    e, _, _ = _oriented(graph)
-    e = e.persist()
+def _corners_from(e: DataFrame) -> DataFrame:
+    """Triangles (x, y, z) from an already-oriented edge frame."""
     a = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     b = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     c = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
-    tri = a.join(b, "y").join(c, ["x", "z"])
-    return tri.select("x", "y", "z")
+    return a.join(b, "y").join(c, ["x", "z"]).select("x", "y", "z")
 
 
-def triangles(graph: Graph) -> DataFrame:
+def triangle_corners(graph: Graph, oriented=None) -> DataFrame:
+    """All triangles as (x, y, z) rows, each triangle exactly once.
+    Pass a precomputed ``_oriented(graph)`` tuple to avoid recomputing
+    the degree-ordered orientation (lcc/transitivity/avg share it)."""
+    e, _, _ = oriented or _oriented(graph)
+    return _corners_from(e.persist() if oriented is None else e)
+
+
+def triangles(graph: Graph, oriented=None) -> DataFrame:
     """Per-vertex triangle counts: (id: long, tri: long); vertices in
     no triangle get 0 (matches the reference's context output)."""
-    _, _, verts = _oriented(graph)
+    ori = oriented or _oriented(graph)
+    _, _, verts = ori
     corners = (
-        triangle_corners(graph)
+        triangle_corners(graph, oriented=ori)
         .select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("tri"))
@@ -81,9 +87,11 @@ def triangle_count(graph: Graph) -> int:
 def lcc(graph: Graph) -> DataFrame:
     """Local clustering coefficient (LDBC LCC semantics, undirected):
     lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 when deg < 2.
-    Returns (id, lcc: double)."""
-    _, deg, verts = _oriented(graph)
-    tri = triangles(graph)
+    Returns (id, lcc: double). The orientation is computed ONCE and
+    its edge frame persisted across the corner join + degree join."""
+    e, deg, verts = _oriented(graph)
+    ori = (e.persist(), deg, verts)
+    tri = triangles(graph, oriented=ori)
     return (
         verts.join(tri, "id", "left")
         .join(deg, "id", "left")
@@ -102,11 +110,12 @@ def lcc(graph: Graph) -> DataFrame:
 def transitivity(graph: Graph) -> float:
     """Global transitivity = 3*triangles / wedges
     (apps/clustering/transitivity.h)."""
-    _, deg, _ = _oriented(graph)
-    tri_total = triangle_count(graph)
+    e, deg, verts = _oriented(graph)
+    tri_total = _corners_from(e.persist()).count()
     wedges = deg.agg(
         F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("w")
     ).collect()[0]["w"]
+    e.unpersist()
     return 0.0 if not wedges else 3.0 * tri_total / float(wedges)
 
 

@@ -37,12 +37,36 @@ from linkgraph.graph import Graph
 from linkgraph.joins import state_join
 
 
-def adjacency_blocks(edges: DataFrame, num_partitions: int) -> DataFrame:
+CSR_CHUNK_SIZE = 8192
+
+
+def adjacency_blocks(
+    edges: DataFrame, num_partitions: int, chunk_size: int = CSR_CHUNK_SIZE
+) -> DataFrame:
     """CSR blocks (src: long, nbrs: array<long>, odeg: int) hash-
-    partitioned by src. Built once per job and persisted by callers."""
+    partitioned by src; ``odeg`` is the block's own length (a source
+    may own several blocks). Built once per job and persisted by
+    callers.
+
+    Hub sharding: a power-law hub would otherwise become ONE
+    collect_list row holding its entire out-list (a 10⁸-degree hub =
+    a multi-GB row pinned to a single task). Sources with out-degree
+    above ``chunk_size`` are split into ⌈deg/chunk_size⌉ blocks keyed
+    by a deterministic hash of the neighbor — no windows/sorts, the
+    split is decided row-by-row inside the same shuffle that builds
+    the blocks. The scatter kernel is chunk-oblivious (each block row
+    carries its own length and the source's message is repeated per
+    block), so correctness is unaffected."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    chunks = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("_deg") / F.lit(chunk_size)).cast("long")
+    )
     return (
-        edges.groupBy("src")
+        edges.join(deg, "src")
+        .withColumn("_chunk", F.pmod(F.xxhash64("dst"), chunks))
+        .groupBy("src", "_chunk")
         .agg(F.collect_list("dst").alias("nbrs"), F.count("*").cast("int").alias("odeg"))
+        .select("src", "nbrs", "odeg")
         .repartition(num_partitions, "src")
     )
 
@@ -77,14 +101,19 @@ def pagerank_csr(
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     edges = graph.edges.select("src", "dst") if graph.directed else (
-        graph.to_undirected(dedup=True).symmetrized_edges().select("src", "dst")
+        graph.to_undirected(dedup=True).edges.select("src", "dst")
     )
     adj = adjacency_blocks(edges, P).persist()
     n_edges = adj.agg(F.sum("odeg")).collect()[0][0] or 0
 
     verts = graph.deduced_vertices()
+    # full out-degree per source (a chunked hub owns several adj rows,
+    # so odeg of a single row is NOT the degree — sum over its blocks)
+    src_deg = adj.groupBy(F.col("src").alias("id")).agg(
+        F.sum("odeg").cast("long").alias("odeg")
+    )
     deg = (
-        verts.join(adj.select(F.col("src").alias("id"), "odeg"), "id", "left")
+        verts.join(src_deg, "id", "left")
         .select("id", F.coalesce("odeg", F.lit(0)).cast("long").alias("deg"))
     )
     n = deg.count()

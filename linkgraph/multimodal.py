@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -64,16 +65,29 @@ def _feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if pdf.empty:
             continue
         blobs = pdf["blob"]
+        # whole-batch vectorized byte histogram: concatenate every
+        # payload into ONE uint8 buffer, zero-pad each payload to a
+        # multiple of FEATURE_DIM, reshape to (-1, FEATURE_DIM) and
+        # segment-sum with np.add.reduceat — no per-byte Python
+        lens = blobs.map(len).to_numpy(dtype=np.int64)
+        padded = -(-lens // FEATURE_DIM) * FEATURE_DIM  # ceil to multiple
+        buf = np.zeros(int(padded.sum()), dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum(padded)[:-1]))
+        for o, b in zip(offs, blobs):
+            buf[o : o + len(b)] = np.frombuffer(bytes(b), dtype=np.uint8)
+        cols = buf.reshape(-1, FEATURE_DIM).astype(np.int64)
+        if len(cols) == 0:
+            feats = np.zeros((len(pdf), FEATURE_DIM))
+        else:
+            row_starts = np.minimum(offs // FEATURE_DIM, len(cols) - 1)
+            feats = np.add.reduceat(cols, row_starts, axis=0).astype(np.float64)
+            feats[padded == 0] = 0.0  # empty segment: reduceat copies the next row
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": blobs.map(len).astype("int64"),
+                "n_bytes": lens,
                 "content_sha": blobs.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                "feature": blobs.map(
-                    lambda b: [
-                        float(sum(bytes(b)[i::FEATURE_DIM])) for i in range(FEATURE_DIM)
-                    ]
-                ),
+                "feature": feats.tolist(),
             }
         )
         yield out

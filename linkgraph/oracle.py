@@ -204,16 +204,17 @@ def hits(src, dst, max_iter=100, tol=1e-8, ids=None):
     hub = np.full(n, 1.0)
     auth = np.full(n, 1.0)
     for _ in range(max_iter):
-        new_auth = np.bincount(d, weights=hub[s], minlength=n)
-        na = np.linalg.norm(new_auth)
-        new_auth = new_auth / na if na else new_auth
-        new_hub = np.bincount(s, weights=new_auth[d], minlength=n)
-        nh = np.linalg.norm(new_hub)
-        new_hub = new_hub / nh if nh else new_hub
-        if np.abs(new_hub - hub).sum() + np.abs(new_auth - auth).sum() < tol:
-            hub, auth = new_hub, new_auth
+        raw_auth = np.bincount(d, weights=hub[s], minlength=n)
+        na = np.linalg.norm(raw_auth) or 1.0
+        raw_hub = np.bincount(s, weights=(raw_auth / na)[d], minlength=n)
+        nh = np.linalg.norm(raw_hub) or 1.0
+        # one-pass L2 stop rule (see linkgraph/algos/hits.py docstring):
+        # delta per vector = sqrt(2 - 2*<raw, prev_normalized>/||raw||)
+        d_a = max(0.0, 2.0 - 2.0 * float(raw_auth @ auth) / na) ** 0.5
+        d_h = max(0.0, 2.0 - 2.0 * float(raw_hub @ hub) / nh) ** 0.5
+        hub, auth = raw_hub / nh, raw_auth / na
+        if d_a + d_h < tol:
             break
-        hub, auth = new_hub, new_auth
     return ids, hub, auth
 
 
@@ -232,10 +233,12 @@ def eigenvector_centrality(src, dst, directed=True, max_iter=100, tol=1e-6, ids=
     x = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         xlast = x
-        x = xlast + np.bincount(d, weights=xlast[s], minlength=n)
-        nrm = np.linalg.norm(x) or 1.0
-        x = x / nrm
-        if np.abs(x - xlast).sum() < n * tol:
+        raw = xlast + np.bincount(d, weights=xlast[s], minlength=n)
+        nrm = np.linalg.norm(raw) or 1.0
+        x = raw / nrm
+        # one-pass L2 stop rule (see linkgraph/algos/hits.py docstring)
+        eps = max(0.0, 2.0 - 2.0 * float(raw @ xlast) / nrm) ** 0.5
+        if eps < n * tol:
             break
     return ids, x
 

@@ -18,37 +18,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+_STAGE1 = {"sum": F.sum, "count": lambda c: F.count("*"), "min": F.min, "max": F.max}
+_STAGE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
-    key: str,
-    agg_col: Column,
+    key: str | list[str],
+    fn: str,
+    col: Column | str | None,
     alias: str,
     n_salts: int = 16,
 ) -> DataFrame:
-    """Two-stage aggregation of ``agg_col`` by ``key``.
+    """Two-stage aggregation ``fn(col)`` grouped by ``key``.
 
-    ``agg_col`` must be an associative aggregate expression over input
-    columns (e.g. F.sum("w"), F.min("cand"), F.count("*")). Stage 1
-    groups by (key, salt) where salt = a deterministic spread derived
-    from the full row via spark_partition_id (uniform, no rand() —
-    keeps the job deterministic and retry-safe); stage 2 re-aggregates
-    the ≤ n_salts partials per key.
-
-    For sum/count the stage-2 re-aggregate is F.sum; for min/max it is
-    the same function — pass ``agg_col`` built from those only.
+    ``fn`` names the associative aggregate explicitly ('sum', 'count',
+    'min', 'max') — no reliance on private JVM handles, so the call
+    works identically under Spark Connect. ``col`` is the aggregated
+    column (ignored for 'count'). Stage 1 groups by (key, salt) where
+    salt = a deterministic spread via spark_partition_id (uniform, no
+    rand() — keeps the job deterministic and retry-safe); stage 2
+    re-aggregates the ≤ n_salts partials per key.
     """
-    fname = agg_col._jc.toString().split("(")[0].lower()  # sum/min/max/count
-    stage2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    if fname not in stage2:
-        raise ValueError(f"salted_agg supports sum/count/min/max, got {fname!r}")
+    if fn not in _STAGE2:
+        raise ValueError(f"salted_agg supports sum/count/min/max, got {fn!r}")
+    keys = [key] if isinstance(key, str) else list(key)
     salted = df.withColumn("_salt", F.spark_partition_id() % n_salts)
-    partial = salted.groupBy(key, "_salt").agg(agg_col.alias("_partial"))
-    return partial.groupBy(key).agg(stage2[fname]("_partial").alias(alias))
+    partial = salted.groupBy(*keys, "_salt").agg(_STAGE1[fn](col).alias("_partial"))
+    return partial.groupBy(*keys).agg(_STAGE2[fn]("_partial").alias(alias))
 
 
 def top_hub_split(
     edges: DataFrame,
-    state: DataFrame,
     key: str = "dst",
     hub_degree: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
