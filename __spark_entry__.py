@@ -44,6 +44,12 @@ KCORE_LAYERS = 40
 EIG_ITERS = 10
 KATZ_ITERS = 10
 KATZ_ALPHA = 0.005
+MSBFS_LAYERS = 16      # unroll for the pair-frame BFS oracles
+CLOSENESS_SOURCES = 32
+APSP_SOURCES = 48
+AVGLEN_SOURCES = 64
+BETW_SOURCES = 16
+BETW_LAYERS = 12
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +203,78 @@ def _q_katz(spark, sf_dir):
     return res.state.select("id", F.round("centrality", 8).alias("centrality"))
 
 
+def _min_sources(g, k):
+    return g.deduced_vertices().orderBy("id").limit(k)
+
+
+def _q_closeness(spark, sf_dir):
+    """Closeness (Wasserman-Faust) of the K min-id vertices over the
+    undirected view — the reference computes it per-vertex via reverse
+    BFS (closeness_centrality.h); the source cap is the sampled mode."""
+    from linkgraph.algos.paths import closeness_centrality
+
+    g = part_graph(spark, sf_dir)
+    res = closeness_centrality(
+        g, sources=_min_sources(g, CLOSENESS_SOURCES), directed=False, wf_improved=True
+    )
+    _assert_unroll(res, MSBFS_LAYERS, "closeness")
+    return res.state.select("id", F.round("closeness", 8).alias("closeness"))
+
+
+def _q_apsp(spark, sf_dir):
+    """All-pairs shortest path lengths restricted to K min-id sources
+    (apps/apsp/all_pairs_shortest_path_length.h), undirected view."""
+    from linkgraph.algos.paths import all_pairs_shortest_path_length
+
+    g = part_graph(spark, sf_dir)
+    res = all_pairs_shortest_path_length(
+        g, sources=_min_sources(g, APSP_SOURCES), directed=False
+    )
+    _assert_unroll(res, MSBFS_LAYERS, "apsp")
+    return res.state.select("src", "dst", "dist")
+
+
+def _q_sssp_path(spark, sf_dir):
+    """Shortest-path tree (id, pred, dist) from the min vertex id over
+    the weighted undirected graph (apps/sssp/sssp_path.h semantics,
+    deterministic min-(dist,pred) tie-break)."""
+    from linkgraph.algos.paths import sssp_path
+
+    edges = part_edges(spark, sf_dir)
+    g = Graph.from_edges(edges, directed=False, weight_col="weight")
+    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
+    res = sssp_path(g, source=int(source), weight_col="weight", directed=False)
+    _assert_unroll(res, BFS_LAYERS, "sssp_path")
+    return res.state.select("id", "pred", F.round("dist", 8).alias("dist"))
+
+
+def _q_avg_length(spark, sf_dir):
+    """Sampled average shortest-path length (K min-id sources,
+    unweighted undirected) — apps/sssp/sssp_average_length.h."""
+    from linkgraph.algos.paths import multi_source_bfs
+
+    g = part_graph(spark, sf_dir)
+    res = multi_source_bfs(g, sources=_min_sources(g, AVGLEN_SOURCES), directed=False)
+    _assert_unroll(res, MSBFS_LAYERS, "sssp_avg_length")
+    return (
+        res.state.where(F.col("dist") > 0)
+        .agg(F.round(F.sum("dist") / F.count("*"), 8).alias("avg_length"))
+    )
+
+
+def _q_betweenness(spark, sf_dir):
+    """Brandes betweenness over the K min-id sources, undirected,
+    normalized with the reference's norm (0.5 / K(K-1))."""
+    from linkgraph.algos.paths import betweenness_centrality
+
+    g = part_graph(spark, sf_dir)
+    res = betweenness_centrality(
+        g, sources=_min_sources(g, BETW_SOURCES), directed=False, normalized=True
+    )
+    _assert_unroll(res, 2 * BETW_LAYERS + 1, "betweenness")
+    return res.state.select("id", F.round("betweenness", 8).alias("betweenness"))
+
+
 def _q_blob_stats(spark, sf_dir):
     """Multimodal path: binary blob column → Arrow-batched mapInPandas
     kernel (linkgraph/multimodal.py); sha256 is the per-row invariant."""
@@ -225,6 +303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "eigenvector": _q_eigenvector,
         "katz": _q_katz,
+        "closeness": _q_closeness,
+        "apsp": _q_apsp,
+        "sssp_path": _q_sssp_path,
+        "sssp_avg_length": _q_avg_length,
+        "betweenness": _q_betweenness,
         # training-data pipeline operators (documents/embeddings)
         "doc_sha": pl.doc_sha,
         "dedup_exact": pl.dedup_exact,
@@ -448,6 +531,147 @@ def _katz_sql(iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA, beta: float = 
     return "\n".join(parts)
 
 
+def _msbfs_layers(n_sources: int, layers: int = MSBFS_LAYERS) -> str:
+    """Unrolled multi-source BFS over the undirected view: pair state
+    (s, id, d); each layer expands the pairs discovered exactly at the
+    previous depth. Produces CTE r{layers}."""
+    parts = [
+        f", srcs AS MATERIALIZED (SELECT id AS s FROM verts ORDER BY id LIMIT {n_sources})",
+        ", r0 AS MATERIALIZED (SELECT s, s AS id, CAST(0 AS BIGINT) AS d FROM srcs)",
+    ]
+    for k in range(1, layers + 1):
+        p = k - 1
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT s, id, min(d) AS d FROM (
+    SELECT s, id, d FROM r{p}
+    UNION ALL
+    SELECT r.s, e.dst AS id, r.d + 1 AS d
+    FROM sym e JOIN r{p} r ON r.id = e.src AND r.d = {p}
+  ) GROUP BY s, id)"""
+        )
+    return "\n".join(parts)
+
+
+def _closeness_sql(k: int = CLOSENESS_SOURCES, layers: int = MSBFS_LAYERS) -> str:
+    return (
+        f"WITH {PART_EDGES_SQL}"
+        + _msbfs_layers(k, layers)
+        + f"""
+, agg AS (SELECT s, count(*) AS reached, sum(d) AS tot FROM r{layers} GROUP BY s)
+, nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)
+SELECT s AS id,
+       round(CASE WHEN tot > 0 AND (SELECT n FROM nn) > 1
+             THEN (reached - 1.0) / tot * (reached - 1.0) / ((SELECT n FROM nn) - 1.0)
+             ELSE 0.0 END, 8) AS closeness
+FROM agg"""
+    )
+
+
+def _apsp_sql(k: int = APSP_SOURCES, layers: int = MSBFS_LAYERS) -> str:
+    return (
+        f"WITH {PART_EDGES_SQL}"
+        + _msbfs_layers(k, layers)
+        + f"\nSELECT s AS src, id AS dst, d AS dist FROM r{layers}"
+    )
+
+
+def _avg_length_sql(k: int = AVGLEN_SOURCES, layers: int = MSBFS_LAYERS) -> str:
+    return (
+        f"WITH {PART_EDGES_SQL}"
+        + _msbfs_layers(k, layers)
+        + f"""
+SELECT round(CAST(sum(d) AS DOUBLE) / count(*), 8) AS avg_length
+FROM r{layers} WHERE d > 0"""
+    )
+
+
+def _sssp_path_sql(layers: int = BFS_LAYERS) -> str:
+    """Unrolled Bellman-Ford with deterministic predecessor tracking:
+    per round, candidates come ONLY from vertices changed in the
+    previous round (mirroring the Spark frontier), the per-target
+    winner is min (cand_dist, pred), and updates are strict (<)."""
+    big = 1e18
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", symw AS MATERIALIZED (SELECT src, dst, weight FROM edges"
+        " UNION SELECT dst AS src, src AS dst, weight FROM edges)",
+        f""", t0 AS MATERIALIZED (SELECT id,
+    CASE WHEN id = (SELECT min(id) FROM verts) THEN 0.0 ELSE {big} END AS d,
+    CASE WHEN id = (SELECT min(id) FROM verts) THEN id ELSE NULL END AS pred,
+    id = (SELECT min(id) FROM verts) AS chg
+  FROM verts)""",
+    ]
+    for kk in range(1, layers + 1):
+        p = kk - 1
+        parts.append(
+            f""", c{kk} AS MATERIALIZED (
+  SELECT id, cd, pp FROM (
+    SELECT e.dst AS id, r.d + e.weight AS cd, e.src AS pp,
+           row_number() OVER (PARTITION BY e.dst ORDER BY r.d + e.weight, e.src) AS rn
+    FROM symw e JOIN t{p} r ON r.id = e.src AND r.chg)
+  WHERE rn = 1)
+, t{kk} AS MATERIALIZED (
+  SELECT t.id,
+    CASE WHEN c.cd < t.d THEN c.cd ELSE t.d END AS d,
+    CASE WHEN c.cd < t.d THEN c.pp ELSE t.pred END AS pred,
+    coalesce(c.cd < t.d, FALSE) AS chg
+  FROM t{p} t LEFT JOIN c{kk} c ON c.id = t.id)"""
+        )
+    parts.append(
+        f"SELECT id, pred, round(d, 8) AS dist FROM t{layers} WHERE d < {big} / 2"
+    )
+    return "\n".join(parts)
+
+
+def _betweenness_sql(k: int = BETW_SOURCES, layers: int = BETW_LAYERS) -> str:
+    """Unrolled Brandes over the undirected view: forward layered BFS
+    accumulating (depth, sigma) pair rows, then backward dependency
+    accumulation walking depths layers-1 .. 0 (no-op for depths beyond
+    the true eccentricity)."""
+    norm = 0.5 / (k * (k - 1))
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        f", srcs AS MATERIALIZED (SELECT id AS s FROM verts ORDER BY id LIMIT {k})",
+        ", f0 AS MATERIALIZED (SELECT s, s AS id, CAST(0 AS BIGINT) AS depth,"
+        " 1.0 AS sigma FROM srcs)",
+    ]
+    for kk in range(1, layers + 1):
+        p = kk - 1
+        parts.append(
+            f""", f{kk} AS MATERIALIZED (
+  SELECT s, id, depth, sigma FROM f{p}
+  UNION ALL
+  SELECT s, id, CAST({kk} AS BIGINT) AS depth, sigma FROM (
+    SELECT r.s AS s, e.dst AS id, sum(r.sigma) AS sigma
+    FROM sym e JOIN f{p} r ON r.id = e.src AND r.depth = {p}
+    GROUP BY r.s, e.dst) n
+  WHERE NOT EXISTS (SELECT 1 FROM f{p} x WHERE x.s = n.s AND x.id = n.id))"""
+        )
+    parts.append(
+        f", b{layers} AS MATERIALIZED (SELECT s, id, depth, sigma, 0.0 AS delta"
+        f" FROM f{layers})"
+    )
+    for d in range(layers - 1, -1, -1):
+        q = d + 1
+        parts.append(
+            f""", b{d} AS MATERIALIZED (
+  SELECT p.s, p.id, p.depth, p.sigma,
+    CASE WHEN p.depth = {d} AND c.c IS NOT NULL THEN p.sigma * c.c ELSE p.delta END AS delta
+  FROM b{q} p LEFT JOIN (
+    SELECT t.s AS s, e.src AS id, sum((1.0 + t.delta) / t.sigma) AS c
+    FROM sym e JOIN b{q} t ON t.id = e.dst AND t.depth = {q}
+    GROUP BY t.s, e.src) c ON c.s = p.s AND c.id = p.id)"""
+        )
+    parts.append(
+        f"""SELECT v.id, round(coalesce(x.b, 0.0), 8) AS betweenness
+FROM verts v LEFT JOIN (
+  SELECT id, sum(delta) * {norm!r} AS b FROM b0 WHERE s <> id GROUP BY id) x
+  ON x.id = v.id"""
+    )
+    return "\n".join(parts)
+
+
 _TRI_SQL_BODY = """
 , degt AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
 , ori AS MATERIALIZED (
@@ -558,6 +782,11 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["kcore"] = _kcore_sql()
     sql["eigenvector"] = _eigenvector_sql()
     sql["katz"] = _katz_sql()
+    sql["closeness"] = _closeness_sql()
+    sql["apsp"] = _apsp_sql()
+    sql["sssp_path"] = _sssp_path_sql()
+    sql["sssp_avg_length"] = _avg_length_sql()
+    sql["betweenness"] = _betweenness_sql()
     sql["blob_stats"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
         " sha256(text) AS content_sha FROM documents"

@@ -45,7 +45,11 @@ from linkgraph.joins import state_join
 
 def _prep_edges(graph: Graph, P: int, directed: bool | None, reverse: bool) -> DataFrame:
     use_directed = graph.directed if directed is None else directed
-    e = graph.edges.select("src", "dst") if use_directed else graph.adjacency_edges().select("src", "dst")
+    # undirected traversal of a stored-directed graph symmetrizes; a
+    # graph already stored symmetric (directed=False) is used as-is
+    e = (
+        graph.symmetrized_edges() if (graph.directed and not use_directed) else graph.edges
+    ).select("src", "dst")
     if reverse and use_directed:
         e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (

@@ -263,3 +263,125 @@ def katz_centrality(src, dst, alpha=0.1, beta=1.0, directed=True, max_iter=1000,
             break
     nrm = np.linalg.norm(x) or 1.0
     return ids, x / nrm
+
+
+# -- path family (closeness/betweenness/apsp; apps/centrality/...,
+#    apps/apsp/all_pairs_shortest_path_length.h) ----------------------
+
+def _adj(src, dst, n, s, d, directed=True):
+    """Dense adjacency lists (list of sorted np arrays)."""
+    if not directed:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+    keep = s != d
+    s, d = s[keep], d[keep]
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    out = [[] for _ in range(n)]
+    for a, b in pairs.tolist():
+        out[a].append(b)
+    return [np.array(sorted(x), dtype=np.int64) for x in out]
+
+
+def bfs_levels_from(adj, n, source):
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[source] = 0
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u].tolist():
+                if dist[v] < 0:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def closeness_centrality(src, dst, directed=True, wf_improved=True, ids=None,
+                         sources=None):
+    """closeness_centrality.h:118-140: reverse BFS per vertex;
+    (reached-1)/Σd, wf: ×(reached-1)/(n-1). Returns (ids, closeness)
+    restricted to `sources` (original ids) or all."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    # reverse: BFS over incoming edges
+    radj = _adj(src, dst, n, d, s, directed=directed) if directed else \
+        _adj(src, dst, n, s, d, directed=False)
+    which = np.arange(n) if sources is None else np.searchsorted(ids, np.asarray(sorted(sources)))
+    out = np.zeros(len(which))
+    for i, v in enumerate(which.tolist()):
+        dist = bfs_levels_from(radj, n, v)
+        reached = dist >= 0
+        tot = dist[reached].sum()
+        r = int(reached.sum())
+        if tot > 0 and n > 1:
+            c = (r - 1.0) / tot
+            if wf_improved:
+                c *= (r - 1.0) / (n - 1.0)
+            out[i] = c
+    return ids[which], out
+
+
+def betweenness_centrality(src, dst, directed=True, normalized=True,
+                           endpoints=False, ids=None, sources=None):
+    """Brandes per source (betweenness_centrality.h:73-196) with the
+    reference's norm (context:56-67): (directed?1:0.5), normalized ÷
+    K(K-1) (endpoints False) / K(K+1) (True), K=|sources|."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    adj = _adj(src, dst, n, s, d, directed=directed)
+    which = np.arange(n) if sources is None else np.searchsorted(ids, np.asarray(sorted(sources)))
+    cent = np.zeros(n)
+    for sv in which.tolist():
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n)
+        dist[sv] = 0
+        sigma[sv] = 1.0
+        frontier = [sv]
+        while frontier:
+            nxt = set()
+            for u in frontier:
+                for v in adj[u].tolist():
+                    if dist[v] < 0:
+                        nxt.add(v)
+            for v in nxt:
+                dist[v] = dist[frontier[0]] + 1
+            for u in frontier:
+                for v in adj[u].tolist():
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+            frontier = sorted(nxt)
+        # accumulate dependencies over depth levels descending
+        delta = np.zeros(n)
+        maxd = dist.max()
+        for dd in range(int(maxd) - 1, -1, -1):
+            for u in np.where(dist == dd)[0].tolist():
+                acc = 0.0
+                for v in adj[u].tolist():
+                    if dist[v] == dd + 1:
+                        acc += (1.0 + delta[v]) / sigma[v]
+                if acc:
+                    delta[u] = sigma[u] * acc
+        delta[sv] = 0.0
+        cent += delta
+    k = len(which)
+    norm = 1.0 if directed else 0.5
+    if normalized and k > 1:
+        norm *= 1.0 / (k * (k + 1)) if endpoints else 1.0 / (k * (k - 1))
+    return ids, cent * norm
+
+
+def apsp_lengths(src, dst, directed=True, ids=None, sources=None):
+    """(rows of (src_id, dst_id, dist)) for reached pairs."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    adj = _adj(src, dst, n, s, d, directed=directed)
+    which = np.arange(n) if sources is None else np.searchsorted(ids, np.asarray(sorted(sources)))
+    rows = []
+    for sv in which.tolist():
+        dist = bfs_levels_from(adj, n, sv)
+        for v in np.where(dist >= 0)[0].tolist():
+            rows.append((int(ids[sv]), int(ids[v]), int(dist[v])))
+    return rows
