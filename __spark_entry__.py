@@ -50,6 +50,7 @@ APSP_SOURCES = 48
 AVGLEN_SOURCES = 64
 BETW_SOURCES = 16
 BETW_LAYERS = 12
+LOUVAIN_ROUNDS = 4
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +276,18 @@ def _q_betweenness(spark, sf_dir):
     return res.state.select("id", F.round("betweenness", 8).alias("betweenness"))
 
 
+def _q_louvain(spark, sf_dir):
+    """Louvain phase-1 local moves (fixed rounds, deterministic
+    parity-guarded argmax — apps/pregel/louvain/louvain.h:229-314) on
+    the weighted co-occurrence graph."""
+    from linkgraph.algos.louvain import louvain_phase1
+
+    edges = part_edges(spark, sf_dir)
+    g = Graph.from_edges(edges, directed=True, weight_col="weight")
+    res = louvain_phase1(g, max_round=LOUVAIN_ROUNDS)
+    return res.state.select("id", "community")
+
+
 def _q_blob_stats(spark, sf_dir):
     """Multimodal path: binary blob column → Arrow-batched mapInPandas
     kernel (linkgraph/multimodal.py); sha256 is the per-row invariant."""
@@ -308,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_path": _q_sssp_path,
         "sssp_avg_length": _q_avg_length,
         "betweenness": _q_betweenness,
+        "louvain": _q_louvain,
         # training-data pipeline operators (documents/embeddings)
         "doc_sha": pl.doc_sha,
         "dedup_exact": pl.dedup_exact,
@@ -672,6 +686,54 @@ FROM verts v LEFT JOIN (
     return "\n".join(parts)
 
 
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled deterministic Louvain phase-1: per round compute
+    community totals, neighbor-community weights, the ΔQ candidates
+    (plus the synthetic stay-put row), argmax by (ΔQ desc, community
+    asc) and the parity oscillation guard. All arithmetic is exact
+    (integer-valued doubles; one IEEE division) so ties are
+    reproduced bit-identically across engines."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", symw AS MATERIALIZED (SELECT src, dst, weight AS w FROM edges"
+        " UNION ALL SELECT dst AS src, src AS dst, weight AS w FROM edges)",
+        ", ki AS MATERIALIZED (SELECT src AS id, sum(w) AS k FROM symw GROUP BY src)",
+        ", m2 AS (SELECT sum(k) AS v FROM ki)",
+        ", l0 AS MATERIALIZED (SELECT v.id, v.id AS c, coalesce(kk.k, 0.0) AS k"
+        " FROM verts v LEFT JOIN ki kk ON kk.id = v.id)",
+    ]
+    for r in range(rounds):
+        even = 1 if r % 2 == 0 else 0
+        parts.append(
+            f""", sig{r} AS MATERIALIZED (SELECT c, sum(k) AS sig FROM l{r} GROUP BY c)
+, wic{r} AS MATERIALIZED (
+  SELECT e.src AS id, l.c AS nc, sum(e.w) AS wi
+  FROM symw e JOIN l{r} l ON l.id = e.dst GROUP BY e.src, l.c)
+, cand{r} AS MATERIALIZED (
+  SELECT w.id, w.nc,
+    CASE WHEN w.nc = cur.c AND s.sig - cur.k = 0 THEN 0.0
+         ELSE w.wi - cur.k * (s.sig - CASE WHEN w.nc = cur.c THEN cur.k ELSE 0.0 END)
+              / (SELECT v FROM m2)
+    END AS dq
+  FROM wic{r} w JOIN l{r} cur ON cur.id = w.id JOIN sig{r} s ON s.c = w.nc
+  UNION ALL
+  SELECT id, c AS nc, 0.0 AS dq FROM l{r})
+, best{r} AS MATERIALIZED (
+  SELECT id, nc AS best FROM (
+    SELECT id, nc, dq,
+           row_number() OVER (PARTITION BY id ORDER BY dq DESC, nc ASC) AS rn
+    FROM cand{r}) WHERE rn = 1)
+, l{r + 1} AS MATERIALIZED (
+  SELECT l.id,
+    CASE WHEN (l.c > b.best AND {even} = 1) OR (l.c < b.best AND {even} = 0)
+         THEN l.c ELSE b.best END AS c,
+    l.k
+  FROM l{r} l JOIN best{r} b ON b.id = l.id)"""
+        )
+    parts.append(f"SELECT id, c AS community FROM l{rounds}")
+    return "\n".join(parts)
+
+
 _TRI_SQL_BODY = """
 , degt AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
 , ori AS MATERIALIZED (
@@ -787,6 +849,7 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["sssp_path"] = _sssp_path_sql()
     sql["sssp_avg_length"] = _avg_length_sql()
     sql["betweenness"] = _betweenness_sql()
+    sql["louvain"] = _louvain_sql()
     sql["blob_stats"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
         " sha256(text) AS content_sha FROM documents"

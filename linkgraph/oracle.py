@@ -385,3 +385,69 @@ def apsp_lengths(src, dst, directed=True, ids=None, sources=None):
         for v in np.where(dist >= 0)[0].tolist():
             rows.append((int(ids[sv]), int(ids[v]), int(dist[v])))
     return rows
+
+
+def louvain_local_move(src, dst, w=None, max_round=10, ids=None):
+    """Synchronous deterministic Louvain phase-1 transcribing
+    apps/pregel/louvain/louvain.h:229-314: gain = k_i_in − k_i·σ'/m2,
+    candidates = neighbor communities ∪ {(cur, 0)}, argmax with min-id
+    ties, parity oscillation guard (even rounds cancel moves to a
+    smaller id, odd rounds to a larger). Returns (ids, community)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    if w is None:
+        w = np.ones(len(s))
+    w = np.asarray(w, dtype=np.float64)
+    # symmetrize, sum parallel, drop self-loops
+    ss = np.concatenate([s, d]); dd = np.concatenate([d, s]); ww = np.concatenate([w, w])
+    keep = ss != dd
+    ss, dd, ww = ss[keep], dd[keep], ww[keep]
+    agg: dict = {}
+    for a, b, x in zip(ss.tolist(), dd.tolist(), ww.tolist()):
+        agg[(a, b)] = agg.get((a, b), 0.0) + x
+    k = np.zeros(n)
+    for (a, b), x in agg.items():
+        k[a] += x
+    m2 = k.sum() or 1.0
+    comm = np.arange(n)
+    prev_moved = -1
+    for rnd in range(max_round):
+        sig = np.zeros(n)  # indexed by community id (dense labels)
+        for v in range(n):
+            sig[comm[v]] += k[v]
+        # neighbor-community weights per vertex
+        wic: list[dict] = [dict() for _ in range(n)]
+        for (a, b), x in agg.items():
+            c = comm[b]
+            wic[a][c] = wic[a].get(c, 0.0) + x
+        newc = comm.copy()
+        moved = 0
+        for v in range(n):
+            cur = comm[v]
+            # candidate set: formula ΔQ for each neighbor community,
+            # plus the synthetic stay-put (cur, 0) entry — for c=cur
+            # the better of the two rows wins in the global argmax
+            cands: dict = {}
+            for c, kin in wic[v].items():
+                is_cur = c == cur
+                sg = sig[c] - (k[v] if is_cur else 0.0)
+                if is_cur and sg == 0.0:
+                    dq = 0.0
+                else:
+                    dq = kin - k[v] * sg / m2  # + internal terms (0 at level 0)
+                cands[c] = dq
+            cands[cur] = max(cands.get(cur, 0.0), 0.0)
+            best_q = max(cands.values())
+            best_c = min(c for c, q in cands.items() if q == best_q)
+            # parity guard
+            if (cur > best_c and rnd % 2 == 0) or (cur < best_c and rnd % 2 != 0):
+                best_c = cur
+            if best_c != cur:
+                moved += 1
+            newc[v] = best_c
+        comm = newc
+        if moved == 0 and prev_moved == 0:
+            break
+        prev_moved = moved
+    return ids, ids[comm]
