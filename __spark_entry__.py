@@ -51,6 +51,9 @@ AVGLEN_SOURCES = 64
 BETW_SOURCES = 16
 BETW_LAYERS = 12
 LOUVAIN_ROUNDS = 4
+BOUNDARY_SOURCES = 100
+ATTR_CATS = 7
+KSHELL_LAYERS = 40
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +291,78 @@ def _q_louvain(spark, sf_dir):
     return res.state.select("id", "community")
 
 
+def _q_clustering_directed(spark, sf_dir):
+    """Fagiolo directed clustering coefficient on the directed
+    co-occurrence edge set (apps/clustering/clustering.h:258-267)."""
+    from linkgraph.algos.structure import clustering_directed
+
+    g = part_graph(spark, sf_dir)
+    return clustering_directed(g).select(
+        "id", F.round("clustering", 8).alias("clustering")
+    )
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson over edge endpoint degrees),
+    undirected view — apps/assortativity/degree_assortativity_coefficient.h."""
+    from linkgraph.algos.structure import degree_assortativity
+
+    g = part_graph(spark, sf_dir)
+    r = degree_assortativity(g, directed=False)
+    return spark.createDataFrame([(round(r, 8),)], "assortativity double")
+
+
+def _q_attr_assortativity(spark, sf_dir):
+    """Categorical attribute assortativity with cat = id % ATTR_CATS
+    (apps/assortativity/attribute_assortativity.h)."""
+    from linkgraph.algos.structure import attribute_assortativity
+
+    g = part_graph(spark, sf_dir)
+    attr = g.deduced_vertices().select("id", (F.col("id") % ATTR_CATS).alias("cat"))
+    r = attribute_assortativity(g, attr)
+    return spark.createDataFrame([(round(r, 8),)], "assortativity double")
+
+
+def _q_avg_degree_connectivity(spark, sf_dir):
+    """k_nn(k) per source degree, undirected view
+    (apps/assortativity/average_degree_connectivity.h)."""
+    from linkgraph.algos.structure import average_degree_connectivity
+
+    g = part_graph(spark, sf_dir)
+    return average_degree_connectivity(g, directed=False).select(
+        "degree", F.round("avg_nbr_degree", 8).alias("avg_nbr_degree")
+    )
+
+
+def _q_node_boundary(spark, sf_dir):
+    """Node boundary of the K min-id vertex set on the directed edge
+    set (apps/boundary/node_boundary.h:72-86)."""
+    from linkgraph.algos.structure import node_boundary
+
+    g = part_graph(spark, sf_dir)
+    return node_boundary(g, _min_sources(g, BOUNDARY_SOURCES)).select("id")
+
+
+def _q_edge_boundary(spark, sf_dir):
+    """Edge boundary of the K min-id vertex set (edge_boundary.h)."""
+    from linkgraph.algos.structure import edge_boundary
+
+    g = part_graph(spark, sf_dir)
+    return edge_boundary(g, _min_sources(g, BOUNDARY_SOURCES)).select("src", "dst")
+
+
+def _q_kshell(spark, sf_dir):
+    """Core (shell) number for EVERY vertex via the iterated H-index
+    fixpoint — same output as apps/kshell/kshell.h's peel, in
+    O(rounds) supersteps."""
+    from linkgraph.algos.cores import kshell
+
+    g = part_graph(spark, sf_dir)
+    res = kshell(g)
+    _assert_unroll(res, KSHELL_LAYERS, "kshell")
+    return res.state.select("id", "shell")
+
+
 def _q_blob_stats(spark, sf_dir):
     """Multimodal path: binary blob column → Arrow-batched mapInPandas
     kernel (linkgraph/multimodal.py); sha256 is the per-row invariant."""
@@ -322,6 +397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_avg_length": _q_avg_length,
         "betweenness": _q_betweenness,
         "louvain": _q_louvain,
+        "kshell": _q_kshell,
+        "clustering_directed": _q_clustering_directed,
+        "degree_assortativity": _q_degree_assortativity,
+        "attr_assortativity": _q_attr_assortativity,
+        "avg_degree_connectivity": _q_avg_degree_connectivity,
+        "node_boundary": _q_node_boundary,
+        "edge_boundary": _q_edge_boundary,
         # training-data pipeline operators (documents/embeddings)
         "doc_sha": pl.doc_sha,
         "dedup_exact": pl.dedup_exact,
@@ -686,6 +768,68 @@ FROM verts v LEFT JOIN (
     return "\n".join(parts)
 
 
+def _kshell_sql(layers: int = KSHELL_LAYERS) -> str:
+    """Unrolled iterated-H-index fixpoint: h0 = degree; each layer
+    recomputes every vertex's H-index of its neighbors' h values via
+    a per-vertex descending running sum over the (h, count) histogram."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        """, h0 AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS h
+  FROM verts v LEFT JOIN (
+    SELECT src AS id, count(*) AS deg FROM sym GROUP BY src) d ON d.id = v.id)""",
+    ]
+    for k in range(1, layers + 1):
+        p = k - 1
+        parts.append(
+            f""", h{k} AS MATERIALIZED (
+  SELECT s.id, CAST(coalesce(x.hn, 0) AS BIGINT) AS h
+  FROM h{p} s LEFT JOIN (
+    SELECT id, max(least(h, cum)) AS hn FROM (
+      SELECT id, h, sum(c) OVER (PARTITION BY id ORDER BY h DESC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT e.src AS id, r.h AS h, count(*) AS c
+            FROM sym e JOIN h{p} r ON r.id = e.dst GROUP BY e.src, r.h))
+    GROUP BY id) x ON x.id = s.id)"""
+        )
+    parts.append(f"SELECT id, h AS shell FROM h{layers}")
+    return "\n".join(parts)
+
+
+def _clustering_directed_sql() -> str:
+    return (
+        f"WITH {PART_EDGES_SQL}"
+        """, bsym AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS m FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)
+  GROUP BY src, dst)
+, dtot AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS DOUBLE) AS dt FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges) GROUP BY id)
+, drec AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS dr FROM bsym WHERE m = 2 GROUP BY src)
+, supdeg AS (SELECT src AS id, count(*) AS sd FROM bsym GROUP BY src)
+, orid AS MATERIALIZED (
+  SELECT b.src, b.dst, b.m FROM bsym b
+  JOIN supdeg a ON a.id = b.src JOIN supdeg c ON c.id = b.dst
+  WHERE a.sd < c.sd OR (a.sd = c.sd AND b.src < b.dst))
+, trid AS MATERIALIZED (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z, e1.m * e2.m * e3.m AS t
+  FROM orid e1 JOIN orid e2 ON e2.src = e1.dst
+  JOIN orid e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+, crn AS (SELECT id, sum(t) AS t FROM (
+    SELECT x AS id, t FROM trid UNION ALL SELECT y AS id, t FROM trid
+    UNION ALL SELECT z AS id, t FROM trid) GROUP BY id)
+SELECT v.id,
+       round(CASE WHEN coalesce(d.dt, 0) * (coalesce(d.dt, 0) - 1)
+                       - 2 * coalesce(r.dr, 0) > 0
+             THEN coalesce(c.t, 0.0)
+                  / (d.dt * (d.dt - 1) - 2 * coalesce(r.dr, 0))
+             ELSE 0.0 END, 8) AS clustering
+FROM verts v LEFT JOIN crn c ON c.id = v.id
+LEFT JOIN dtot d ON d.id = v.id LEFT JOIN drec r ON r.id = v.id"""
+    )
+
+
 def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     """Unrolled deterministic Louvain phase-1: per round compute
     community totals, neighbor-community weights, the ΔQ candidates
@@ -850,6 +994,47 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["sssp_avg_length"] = _avg_length_sql()
     sql["betweenness"] = _betweenness_sql()
     sql["louvain"] = _louvain_sql()
+    sql["kshell"] = _kshell_sql()
+    sql["clustering_directed"] = _clustering_directed_sql()
+    sql["degree_assortativity"] = (
+        f"WITH {PART_EDGES_SQL}"
+        ", degt AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src)"
+        " SELECT round(corr(a.deg, b.deg), 8) AS assortativity"
+        " FROM sym e JOIN degt a ON a.id = e.src JOIN degt b ON b.id = e.dst"
+    )
+    sql["attr_assortativity"] = (
+        f"WITH {PART_EDGES_SQL}"
+        f""", mix AS MATERIALIZED (
+  SELECT (src % {ATTR_CATS}) AS ca, (dst % {ATTR_CATS}) AS cb,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM edges GROUP BY 1, 2)
+, tot AS (SELECT sum(n) AS t FROM mix)
+, tr AS (SELECT coalesce(sum(n), 0) / (SELECT t FROM tot) AS v FROM mix WHERE ca = cb)
+, av AS (SELECT ca, sum(n) / (SELECT t FROM tot) AS a FROM mix GROUP BY ca)
+, bv AS (SELECT cb, sum(n) / (SELECT t FROM tot) AS b FROM mix GROUP BY cb)
+, ab AS (SELECT coalesce(sum(av.a * bv.b), 0) AS s FROM av JOIN bv ON bv.cb = av.ca)
+SELECT round(((SELECT v FROM tr) - (SELECT s FROM ab)) / (1 - (SELECT s FROM ab)), 8)
+       AS assortativity"""
+    )
+    sql["avg_degree_connectivity"] = (
+        f"WITH {PART_EDGES_SQL}"
+        ", degt AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src)"
+        " SELECT CAST(a.deg AS BIGINT) AS degree, round(avg(b.deg), 8) AS avg_nbr_degree"
+        " FROM sym e JOIN degt a ON a.id = e.src JOIN degt b ON b.id = e.dst"
+        " GROUP BY 1"
+    )
+    sql["node_boundary"] = (
+        f"WITH {PART_EDGES_SQL}"
+        f", srcs AS (SELECT id FROM verts ORDER BY id LIMIT {BOUNDARY_SOURCES})"
+        " SELECT DISTINCT e.dst AS id FROM edges e"
+        " WHERE e.src IN (SELECT id FROM srcs) AND e.dst NOT IN (SELECT id FROM srcs)"
+    )
+    sql["edge_boundary"] = (
+        f"WITH {PART_EDGES_SQL}"
+        f", srcs AS (SELECT id FROM verts ORDER BY id LIMIT {BOUNDARY_SOURCES})"
+        " SELECT e.src, e.dst FROM edges e"
+        " WHERE e.src IN (SELECT id FROM srcs) AND e.dst NOT IN (SELECT id FROM srcs)"
+    )
     sql["blob_stats"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
         " sha256(text) AS content_sha FROM documents"

@@ -87,24 +87,74 @@ def kcore(
 
 def kshell(
     graph: Graph,
-    max_k: int = 64,
-    engine: SuperstepEngine | None = None,
+    engine: "SuperstepEngine | None" = None,
+    max_iter: int = 10_000,
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Shell index per vertex: (id: long, shell: long) — the largest k
-    such that the vertex is in the k-core. Driver loop over k
-    (kshell.h's peeling), each level reusing the kcore prune."""
-    verts = graph.deduced_vertices()
+):
+    """Shell (core) number per vertex: (id: long, shell: long) — the
+    largest k such that the vertex is in the k-core. Returns a
+    SuperstepResult whose state is that frame.
+
+    Algorithm: iterated H-index fixpoint (Lu/Chen/Zhou/Stanley 2016):
+    h_0(v) = deg(v); h_{t+1}(v) = H-index of the neighbors' h_t values
+    (the largest k with >= k neighbors whose h >= k); the fixpoint is
+    exactly the core number — the same output as the reference's
+    incremental peel (apps/kshell/kshell.h:45-135) but in O(rounds)
+    synchronized supersteps instead of O(max_core * depth) sequential
+    removal waves, which is the form that survives on Spark (each
+    round = one join + one histogram + one running-sum window over the
+    per-vertex DISTINCT h values — bounded by sqrt(2|E|) per vertex,
+    far below raw degree, so the window carries no hub-row skew).
+    """
+    from linkgraph.engine import SuperstepEngine
+    from pyspark.sql.window import Window
+
     spark = graph.edges.sparkSession
-    shell = verts.select("id", F.lit(0).cast("long").alias("shell"))
-    for k in range(1, max_k + 1):
-        res = kcore(graph, k, engine=engine, num_partitions=num_partitions)
-        members = res.state.where(F.col("in_core"))
-        n = members.count()
-        if n == 0:
-            break
-        shell = (
-            shell.join(members.select("id", F.lit(k).cast("long").alias("k")), "id", "left")
-            .select("id", F.coalesce("k", "shell").alias("shell"))
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _und_edges(graph, P).persist()
+    n_edges = edges.count()
+    verts = graph.deduced_vertices()
+
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    init = (
+        verts.join(deg, "id", "left")
+        .select("id", F.coalesce("d", F.lit(0)).cast("long").alias("h"))
+        .repartition(P, "id")
+    )
+
+    def step(state, round_):
+        state = state.drop("_chg")
+        nbrh = edges.join(
+            state.select(F.col("id").alias("dst"), "h").hint("SHUFFLE_HASH"), "dst"
+        ).select(F.col("src").alias("id"), "h")
+        hist = nbrh.groupBy("id", "h").agg(F.count("*").alias("c"))
+        w = (
+            Window.partitionBy("id")
+            .orderBy(F.col("h").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    return shell
+        hn = (
+            hist.withColumn("cum", F.sum("c").over(w))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("h"), F.col("cum"))).alias("hn"))
+        )
+        new_state = (
+            state.join(hn.hint("SHUFFLE_HASH"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("hn", F.lit(0)).cast("long").alias("h"),
+                (F.coalesce("hn", F.lit(0)) != F.col("h")).alias("_chg"),
+            )
+        )
+
+        def finalize(df):
+            chg = df.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
+            return {"halt": chg == 0, "changed": int(chg), "edges_processed": n_edges}
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("id", F.col("h").alias("shell"))
+    edges.unpersist()
+    return result

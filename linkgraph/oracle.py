@@ -451,3 +451,33 @@ def louvain_local_move(src, dst, w=None, max_round=10, ids=None):
             break
         prev_moved = moved
     return ids, ids[comm]
+
+
+def core_numbers(src, dst, ids=None):
+    """Core (shell) number per vertex by sequential peeling — the
+    golden check for the distributed iterated-H-index fixpoint
+    (apps/kshell/kshell.h semantics). Returns (ids, core)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    n, ids, s, d = _relabel(src, dst, ids)
+    adj = _adj(src, dst, n, s, d, directed=False)
+    deg = np.array([len(a) for a in adj])
+    core = np.zeros(n, dtype=np.int64)
+    removed = np.zeros(n, dtype=bool)
+    k = 0
+    left = n
+    while left > 0:
+        prog = True
+        while prog:
+            prog = False
+            for v in np.where(~removed & (deg <= k))[0].tolist():
+                core[v] = k
+                removed[v] = True
+                left -= 1
+                prog = True
+                for u in adj[v].tolist():
+                    if not removed[u]:
+                        deg[u] -= 1
+        if left > 0 and not (~removed & (deg <= k)).any():
+            k += 1
+    return ids, core

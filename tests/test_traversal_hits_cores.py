@@ -74,5 +74,17 @@ def test_kcore_triangle_plus_tail(spark):
     g = Graph.from_edges(e, directed=True)
     got = {r["id"]: r["in_core"] for r in kcore(g, k=2).state.collect()}
     assert got == {1: True, 2: True, 3: True, 4: False}
-    sh = {r["id"]: r["shell"] for r in kshell(g, max_k=5).collect()}
+    res = kshell(g)
+    sh = {r["id"]: r["shell"] for r in res.state.collect()}
     assert sh == {1: 2, 2: 2, 3: 2, 4: 1}
+    assert res.converged
+
+
+def test_kshell_hindex_matches_peeling(spark, small_graph, small_edges_np):
+    src, dst = small_edges_np
+    g = Graph.from_edges(small_graph, directed=True)
+    res = kshell(g)
+    got = {r["id"]: r["shell"] for r in res.state.collect()}
+    ids, core = oracle.core_numbers(src, dst)
+    exp = {int(i): int(c) for i, c in zip(ids, core)}
+    assert got == exp
