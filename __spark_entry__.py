@@ -415,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": pl.lsh_candidate_pairs,
         "simhash": pl.simhash,
         "embedding_topk": pl.embedding_topk,
+        "embedding_ann": pl.embedding_ann,
+        "dedup_clusters": pl.dedup_clusters,
         "blob_stats": _q_blob_stats,
     }
 
@@ -1083,11 +1085,13 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id"""
     sql["ngram_jaccard"] = (
         "WITH "
         + _GRAMS_SQL
-        + """,
-sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        + f""",
+keepg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= {pl.NGRAM_MAX_DF}),
+gramsf AS MATERIALIZED (SELECT g.doc_id, g.gram FROM grams g JOIN keepg USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gramsf GROUP BY doc_id),
 inter AS (
     SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-    FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+    FROM gramsf x JOIN gramsf y ON x.gram = y.gram AND x.doc_id < y.doc_id
     GROUP BY x.doc_id, y.doc_id),
 jac AS (
     SELECT i.a, i.b,
@@ -1109,6 +1113,62 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y
   ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id"""
     )
+    sql["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _GRAMS_SQL
+        + """,
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+sig AS MATERIALIZED (
+    SELECT g.doc_id, s.seed,
+           min(CAST('0x' || substr(md5(s.seed || '|' || g.gram), 1, 15) AS BIGINT)) AS minhash
+    FROM grams g CROSS JOIN seeds s
+    GROUP BY g.doc_id, s.seed),
+bands AS (
+    SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+           md5(array_to_string(list_sort(list(seed || ':' || minhash)), ',')) AS bh
+    FROM sig GROUP BY doc_id, CAST(floor(seed / 4) AS INT)),
+prs AS MATERIALIZED (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+sym2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs),
+lab(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.dst, l.comp FROM lab l JOIN sym2 s ON s.src = l.id WHERE l.comp < s.dst)
+SELECT id AS doc_id, min(comp) AS canonical_id FROM lab GROUP BY id"""
+    )
+    dim, bits, nq, kk = 64, pl.ANN_BITS, 10, 10
+    planes = pl.ann_hyperplanes(dim, bits)
+    plane_rows = ", ".join(
+        f"({j}, [{', '.join(str(float(x)) for x in planes[j])}]::DOUBLE[])"
+        for j in range(bits)
+    )
+    sql["embedding_ann"] = f"""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * {pl.ANN_QUANT} + 0.5)) AS vq
+    FROM embeddings),
+planes(j, h) AS (VALUES {plane_rows}),
+sig AS MATERIALIZED (
+    SELECT e.vec_id,
+           sum(CASE WHEN list_dot_product(e.vq, p.h) >= 0
+               THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS bucket
+    FROM emb e CROSS JOIN planes p GROUP BY e.vec_id),
+embb AS MATERIALIZED (
+    SELECT e.vec_id, e.v, s.bucket FROM emb e JOIN sig s USING (vec_id)),
+q AS (SELECT vec_id AS q, v AS qv, bucket FROM embb WHERE vec_id < {nq}),
+cand AS (
+    SELECT q.q, e.vec_id,
+           list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+    FROM embb e JOIN q ON q.bucket = e.bucket AND e.vec_id <> q.q),
+ranked AS (
+    SELECT q, vec_id,
+           row_number() OVER (PARTITION BY q ORDER BY sim DESC, vec_id ASC) AS rank, sim
+    FROM cand)
+SELECT q, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {kk}"""
     sql["simhash"] = (
         "WITH "
         + _TOKS_SQL

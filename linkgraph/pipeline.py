@@ -25,6 +25,9 @@ STOPWORDS = ["the", "a", "of", "to", "and"]
 LANG_MARKERS = [("en", "the"), ("de", "der"), ("fr", "le"), ("es", "el"), ("zh", "data")]
 MINHASH_SEEDS = 16
 LSH_BAND_ROWS = 4
+NGRAM_MAX_DF = 256  # drop shingles shared by more docs before the pair join
+ANN_BITS = 8        # hyperplane-LSH signature width
+ANN_QUANT = 1024.0  # fixed-point quantization for exact cross-engine signs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,12 +139,27 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.05
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Near-duplicate pairs by token-n-gram Jaccard via an inverted
     shingle index (never a cross join): (a, b, jaccard) with a < b and
-    jaccard ≥ threshold, rounded to 8 decimals."""
-    sh = _shingles(spark, sf_dir, n)
+    jaccard ≥ threshold, rounded to 8 decimals.
+
+    Hot-shingle cap: a gram appearing in more than ``max_df`` docs is
+    dropped from the shingle space BEFORE the self-join (both from the
+    index and from the per-doc sizes, so the Jaccard stays consistent
+    over the filtered space). Without it one stop-phrase 3-gram shared
+    by 10⁶ docs makes the sh⋈sh join quadratic — the same cap
+    discipline as the co-change group cap in linkgraph/etl.py."""
+    sh0 = _shingles(spark, sf_dir, n)
+    df_counts = sh0.groupBy("gram").agg(F.count("*").alias("df"))
+    sh = sh0.join(
+        df_counts.where(F.col("df") <= max_df).select("gram"), "gram", "left_semi"
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("x")
@@ -290,9 +308,137 @@ def embedding_topk(
             ).alias("sim"),
         )
     )
+    # two-stage top-k: local top-k inside each scan partition first,
+    # so the final per-query window sees ≤ k·#partitions rows instead
+    # of ALL N candidates landing on one reducer (the skew bottleneck
+    # at 10⁹ vectors — VERDICT r1 pipeline audit)
+    wl = Window.partitionBy("q", "_pid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(wl))
+        .where(F.col("_lr") <= k)
+    )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim"))
+    )
+
+
+def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>, vq: array<long>) — fixed-point
+    quantized copy (floor(x·ANN_QUANT + 0.5)) so hyperplane signs are
+    exact integer arithmetic, bit-identical across engines."""
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "vq",
+            F.transform(
+                "v", lambda x: F.floor(x * F.lit(ANN_QUANT) + F.lit(0.5)).cast("long")
+            ),
+        )
+    )
+
+
+def ann_hyperplanes(dim: int, bits: int = ANN_BITS) -> list[list[int]]:
+    """Deterministic pseudo-random integer hyperplanes (md5-seeded,
+    values in [-1000, 1000]) shared verbatim by the Spark plan and the
+    SQL oracle."""
+    import hashlib as _hl
+
+    return [
+        [
+            int(_hl.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def embedding_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    bits: int = ANN_BITS,
+) -> DataFrame:
+    """Bucketed approximate nearest neighbors: random-hyperplane LSH
+    signature (one sign bit per hyperplane over the quantized vector),
+    bucket-join queries to candidates sharing the signature, exact
+    cosine re-rank inside the bucket. (q, vec_id, rank, sim).
+
+    This is the 10⁹-vector scale path next to the exact
+    embedding_topk baseline: the join is keyed by the bucket id —
+    never all-pairs — and the re-rank touches only same-bucket rows.
+    """
+    emb = _quantized_emb(spark, sf_dir)
+    dim = len(emb.select("v").first()["v"])
+    planes = ann_hyperplanes(dim, bits)
+    sig = F.lit(0).cast("long")
+    for j, h in enumerate(planes):
+        hcol = F.array(*[F.lit(x).cast("long") for x in h])
+        dot = F.aggregate(
+            F.zip_with("vq", hcol, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    emb = emb.withColumn("bucket", sig)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"), "bucket"
+    )
+    dotf = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cand = (
+        emb.select("vec_id", "v", "bucket")
+        .join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("q"))
+        .select(
+            "q",
+            "vec_id",
+            (
+                dotf(F.col("qv"), F.col("v"))
+                / (F.sqrt(dotf(F.col("qv"), F.col("qv"))) * F.sqrt(dotf(F.col("v"), F.col("v"))))
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "vec_id", F.col("rank").cast("long").alias("rank"),
+                F.round("sim", 6).alias("sim"))
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidate pairs → connected
+    components over the candidate graph → canonical representative
+    (min doc_id of the component). Every document gets a row:
+    (doc_id, canonical_id); singletons map to themselves.
+
+    Composes lsh_candidate_pairs with the wcc superstep job — the op a
+    training-data pipeline actually runs (keep one doc per cluster)."""
+    from linkgraph.algos.wcc import wcc
+    from linkgraph.graph import Graph
+
+    pairs = lsh_candidate_pairs(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    g = Graph.from_edges(pairs, directed=True)
+    comp = wcc(g).state  # (id, comp) — comp = min doc id of the cluster
+    return (
+        docs.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("canonical_id"))
     )

@@ -100,3 +100,30 @@ def test_embedding_topk(spark, doc_dir):
     assert [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])][0] in (3, 4)
     assert all(r["q"] == 0 for r in rows)
     assert len(rows) == 2
+
+
+def test_dedup_clusters_covers_all_docs(spark):
+    from linkgraph import pipeline as pl
+
+    sf = "/root/testdata/sf0.001"
+    out = pl.dedup_clusters(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert out.count() == docs.count()
+    # canonical is always <= doc_id (min-of-component) and present
+    from pyspark.sql import functions as F
+
+    bad = out.where(F.col("canonical_id") > F.col("doc_id")).count()
+    assert bad == 0
+
+
+def test_embedding_ann_subset_of_bucketmates(spark):
+    from linkgraph import pipeline as pl
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ann = pl.embedding_ann(spark, sf).cache()
+    exact = pl.embedding_topk(spark, sf).cache()
+    # ANN returns valid ranks and a recall > 0 vs the exact top-k
+    assert ann.where(F.col("rank") > 10).count() == 0
+    hits = ann.join(exact, ["q", "vec_id"], "left_semi").count()
+    assert hits > 0
