@@ -54,6 +54,10 @@ LOUVAIN_ROUNDS = 4
 BOUNDARY_SOURCES = 100
 ATTR_CATS = 7
 KSHELL_LAYERS = 40
+VOTERANK_SEEDS = 16
+LPA_U2I_ROUNDS = 2
+SAMPLING_V0_CAP = 300
+ASP_CUTOFF = 3
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +367,86 @@ def _q_kshell(spark, sf_dir):
     return res.state.select("id", "shell")
 
 
+def _q_voterank(spark, sf_dir):
+    """VoteRank seed election on the undirected view, integer-exact
+    voting abilities (apps/voterank/voterank.h:58-200)."""
+    from linkgraph.algos.ranking import voterank
+
+    g = part_graph(spark, sf_dir)
+    return voterank(g, num_seeds=VOTERANK_SEEDS, directed=False)
+
+
+def _q_lpa_u2i(spark, sf_dir):
+    """Bipartite user→item label propagation (apps/lpa/lpa_u2i.h) on
+    the customer–part purchase graph; seeds from custkey % 19."""
+    from linkgraph.algos.bipartite import lpa_u2i
+    from linkgraph.tpch_graph import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("user")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    )
+    be = orders.join(li, "ok").select("user", "item").dropDuplicates(["user", "item"])
+    users = be.select("user").distinct()
+    seeds = users.select(
+        "user",
+        F.when(F.col("user") % 19 == 0, 1.0)
+        .when(F.col("user") % 19 == 1, 0.0)
+        .otherwise(0.5)
+        .alias("label"),
+    )
+    res = lpa_u2i(be, seeds, max_round=LPA_U2I_ROUNDS)
+    return res.state.select("user", F.round("label", 8).alias("label"))
+
+
+def _q_sampling_path(spark, sf_dir):
+    """Label-pattern path enumeration (apps/sampling_path/
+    sampling_path.h): vlabel = id % 3, pattern [0, 1, 2], start
+    vertices capped at id < SAMPLING_V0_CAP."""
+    from linkgraph.algos.pathenum import sampling_path
+
+    g = part_graph(spark, sf_dir)
+    vl = g.deduced_vertices().select("id", (F.col("id") % 3).alias("vl"))
+    return sampling_path(
+        g, vl, [0, 1, 2], start_filter=F.col("v0") < SAMPLING_V0_CAP
+    )
+
+
+def _q_is_simple_path(spark, sf_dir):
+    """Simple-path predicate on the three smallest vertex ids
+    (apps/simple_path/is_simple_path.h), undirected view."""
+    from linkgraph.algos.pathenum import is_simple_path
+
+    g = part_graph(spark, sf_dir)
+    ids = [r["id"] for r in g.deduced_vertices().orderBy("id").limit(3).collect()]
+    ok = is_simple_path(g, ids, directed=False)
+    return spark.createDataFrame([(bool(ok),)], "is_path boolean")
+
+
+def _q_all_simple_paths(spark, sf_dir):
+    """All simple paths between the two smallest vertex ids with
+    cutoff 3 (apps/simple_path/all_simple_paths.h), undirected."""
+    from linkgraph.algos.pathenum import all_simple_paths
+
+    g = part_graph(spark, sf_dir)
+    ids = [r["id"] for r in g.deduced_vertices().orderBy("id").limit(2).collect()]
+    out = all_simple_paths(g, ids[0], ids[1], cutoff=ASP_CUTOFF, directed=False)
+    return out.select(F.concat_ws("-", F.col("path").cast("array<string>")).alias("path"))
+
+
+def _q_dfs(spark, sf_dir):
+    """DFS preorder from the min vertex id (apps/dfs/dfs.h) —
+    rows-only gate (DFS order has no tractable SQL twin); exact
+    semantics are pytest-checked against a sequential python DFS."""
+    from linkgraph.algos.pathenum import dfs
+
+    g = part_graph(spark, sf_dir)
+    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
+    return dfs(g, int(source), directed=False).select("id", "rank", "parent")
+
+
 def _q_blob_stats(spark, sf_dir):
     """Multimodal path: binary blob column → Arrow-batched mapInPandas
     kernel (linkgraph/multimodal.py); sha256 is the per-row invariant."""
@@ -404,6 +488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_degree_connectivity": _q_avg_degree_connectivity,
         "node_boundary": _q_node_boundary,
         "edge_boundary": _q_edge_boundary,
+        "voterank": _q_voterank,
+        "lpa_u2i": _q_lpa_u2i,
+        "sampling_path": _q_sampling_path,
+        "is_simple_path": _q_is_simple_path,
+        "all_simple_paths": _q_all_simple_paths,
+        "dfs": _q_dfs,
         # training-data pipeline operators (documents/embeddings)
         "doc_sha": pl.doc_sha,
         "dedup_exact": pl.dedup_exact,
@@ -798,6 +888,76 @@ def _kshell_sql(layers: int = KSHELL_LAYERS) -> str:
     return "\n".join(parts)
 
 
+def _voterank_sql(seeds: int = VOTERANK_SEEDS) -> str:
+    """Unrolled VoteRank rounds with integer abilities in units of
+    1/|sym|: score sums are order-independent integers, so the
+    per-round (score DESC, id ASC) argmax is bit-identical."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", w0 AS MATERIALIZED (SELECT id, (SELECT count(*) FROM sym) AS wi FROM verts)",
+        ", el0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id,"
+        " CAST(NULL AS BIGINT) AS rnk WHERE 1 = 0)",
+    ]
+    for r in range(1, seeds + 1):
+        p = r - 1
+        parts.append(
+            f""", sc{r} AS MATERIALIZED (
+  SELECT e.src AS id, sum(w.wi) AS s
+  FROM sym e JOIN w{p} w ON w.id = e.dst
+  WHERE e.src NOT IN (SELECT id FROM el{p} WHERE id IS NOT NULL)
+  GROUP BY e.src)
+, top{r} AS MATERIALIZED (
+  SELECT id, s FROM sc{r} WHERE s >= 1 ORDER BY s DESC, id ASC LIMIT 1)
+, el{r} AS MATERIALIZED (
+  SELECT id, rnk FROM el{p} UNION ALL SELECT id, {r} AS rnk FROM top{r})
+, w{r} AS MATERIALIZED (
+  SELECT w.id,
+    CASE WHEN w.id = (SELECT id FROM top{r}) THEN 0
+         WHEN EXISTS (SELECT 1 FROM sym e WHERE e.src = (SELECT id FROM top{r})
+                      AND e.dst = w.id)
+           THEN greatest(w.wi - (SELECT count(*) FROM verts), 0)
+         ELSE w.wi END AS wi
+  FROM w{p} w)"""
+        )
+    parts.append(
+        f"SELECT id, CAST(rnk AS BIGINT) AS vote_rank FROM el{seeds} WHERE id IS NOT NULL"
+    )
+    return "\n".join(parts)
+
+
+def _lpa_u2i_sql(rounds: int = LPA_U2I_ROUNDS) -> str:
+    parts = [
+        """WITH be AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+, od AS MATERIALIZED (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM be GROUP BY u)
+, idg AS MATERIALIZED (SELECT it, CAST(count(*) AS DOUBLE) AS idg FROM be GROUP BY it)
+, ns AS MATERIALIZED (
+  SELECT b.u, sum(g.idg) AS ns FROM be b JOIN idg g ON g.it = b.it GROUP BY b.u)
+, ul0 AS MATERIALIZED (
+  SELECT u, CASE WHEN u % 19 = 0 THEN 1.0 WHEN u % 19 = 1 THEN 0.0
+                 ELSE 0.5 END AS lab
+  FROM (SELECT DISTINCT u FROM be))""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", il{r} AS MATERIALIZED (
+  SELECT b.it, sum(l.lab) AS il FROM be b JOIN ul{p} l ON l.u = b.u GROUP BY b.it)
+, tmp{r} AS MATERIALIZED (
+  SELECT b.u, sum(i.il) AS t FROM be b JOIN il{r} i ON i.it = b.it GROUP BY b.u)
+, ul{r} AS MATERIALIZED (
+  SELECT l.u,
+    CASE WHEN l.lab = 0 OR l.lab = 1 THEN l.lab
+         WHEN n.ns <> o.od THEN (coalesce(t.t, 0) - o.od * l.lab) / (n.ns - o.od)
+         ELSE l.lab END AS lab
+  FROM ul{p} l JOIN od o ON o.u = l.u JOIN ns n ON n.u = l.u
+  LEFT JOIN tmp{r} t ON t.u = l.u)"""
+        )
+    parts.append(f'SELECT u AS "user", round(lab, 8) AS label FROM ul{rounds}')
+    return "\n".join(parts)
+
+
 def _clustering_directed_sql() -> str:
     return (
         f"WITH {PART_EDGES_SQL}"
@@ -1036,6 +1196,48 @@ SELECT round(((SELECT v FROM tr) - (SELECT s FROM ab)) / (1 - (SELECT s FROM ab)
         f", srcs AS (SELECT id FROM verts ORDER BY id LIMIT {BOUNDARY_SOURCES})"
         " SELECT e.src, e.dst FROM edges e"
         " WHERE e.src IN (SELECT id FROM srcs) AND e.dst NOT IN (SELECT id FROM srcs)"
+    )
+    sql["voterank"] = _voterank_sql()
+    sql["lpa_u2i"] = _lpa_u2i_sql()
+    sql["sampling_path"] = (
+        f"WITH {PART_EDGES_SQL}"
+        f""" SELECT a.id AS v0, e1.dst AS v1, e2.dst AS v2
+FROM verts a
+JOIN edges e1 ON e1.src = a.id
+JOIN edges e2 ON e2.src = e1.dst
+WHERE a.id % 3 = 0 AND a.id < {SAMPLING_V0_CAP}
+  AND e1.dst % 3 = 1 AND e2.dst % 3 = 2"""
+    )
+    sql["is_simple_path"] = (
+        f"WITH {PART_EDGES_SQL}"
+        """, p AS (SELECT id, row_number() OVER (ORDER BY id) AS rn
+       FROM (SELECT id FROM verts ORDER BY id LIMIT 3))
+, hops AS (SELECT a.id AS src, b.id AS dst FROM p a JOIN p b ON b.rn = a.rn + 1)
+SELECT (SELECT count(*) FROM hops h JOIN sym s ON s.src = h.src AND s.dst = h.dst)
+       = (SELECT count(*) FROM hops) AS is_path"""
+    )
+    sql["all_simple_paths"] = (
+        f"WITH {PART_EDGES_SQL}"
+        """, st AS (SELECT min(id) AS s FROM verts)
+, tg AS (SELECT id AS t FROM verts ORDER BY id LIMIT 1 OFFSET 1)
+, ns_ AS MATERIALIZED (SELECT dst AS a FROM sym WHERE src = (SELECT s FROM st))
+, nt_ AS MATERIALIZED (SELECT src AS b FROM sym WHERE dst = (SELECT t FROM tg))
+, l1 AS (SELECT CAST((SELECT s FROM st) AS VARCHAR) || '-' ||
+                CAST((SELECT t FROM tg) AS VARCHAR) AS path
+         FROM ns_ WHERE a = (SELECT t FROM tg))
+, l2 AS (SELECT CAST((SELECT s FROM st) AS VARCHAR) || '-' ||
+                CAST(a AS VARCHAR) || '-' || CAST((SELECT t FROM tg) AS VARCHAR) AS path
+         FROM ns_ WHERE a IN (SELECT b FROM nt_)
+           AND a <> (SELECT s FROM st) AND a <> (SELECT t FROM tg))
+, l3 AS (SELECT CAST((SELECT s FROM st) AS VARCHAR) || '-' ||
+                CAST(n1.a AS VARCHAR) || '-' || CAST(e.dst AS VARCHAR) || '-'
+                || CAST((SELECT t FROM tg) AS VARCHAR) AS path
+         FROM ns_ n1 JOIN sym e ON e.src = n1.a
+         JOIN nt_ n2 ON n2.b = e.dst
+         WHERE n1.a <> (SELECT s FROM st) AND n1.a <> (SELECT t FROM tg)
+           AND e.dst <> (SELECT s FROM st) AND e.dst <> (SELECT t FROM tg)
+           AND e.dst <> n1.a)
+SELECT path FROM l1 UNION ALL SELECT path FROM l2 UNION ALL SELECT path FROM l3"""
     )
     sql["blob_stats"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
