@@ -160,6 +160,56 @@ class Graph:
         v = self.deduced_vertices() if self.vertices is None else self.vertices
         return replace(self, vertices=v.join(res, "id", "left"))
 
+    # -- serialize / deserialize (save_to / load_from,
+    #    python/graphscope/framework/graph.py:1193-1346) --------------
+
+    def save(self, path: str, format: str = "parquet") -> None:
+        """Serialize the graph to ``path``: edges/ + vertices/ tables
+        plus a meta.json carrying directedness and the weight column —
+        the reference's save_to(path) graph archive, with parquet (or
+        csv/orc) standing in for its GraphAr/serialization formats."""
+        import json as _json
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        self.edges.write.mode("overwrite").format(format).save(_os.path.join(path, "edges"))
+        has_vertices = self.vertices is not None
+        if has_vertices:
+            self.vertices.write.mode("overwrite").format(format).save(
+                _os.path.join(path, "vertices")
+            )
+        meta = {
+            "directed": self.directed,
+            "weight_col": self.weight_col,
+            "has_vertices": has_vertices,
+            "format": format,
+        }
+        with open(_os.path.join(path, "meta.json"), "w") as fh:
+            fh.write(_json.dumps(meta))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Graph":
+        """Deserialize a graph written by :meth:`save` — the
+        load_from round-trip (graph.py:1285-1346)."""
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "meta.json")) as fh:
+            meta = _json.loads(fh.read())
+        fmt = meta.get("format", "parquet")
+        edges = spark.read.format(fmt).load(_os.path.join(path, "edges"))
+        vertices = (
+            spark.read.format(fmt).load(_os.path.join(path, "vertices"))
+            if meta.get("has_vertices")
+            else None
+        )
+        return cls(
+            edges=edges,
+            vertices=vertices,
+            directed=bool(meta["directed"]),
+            weight_col=meta.get("weight_col"),
+        )
+
     # -- partitioning (hash vs range, arrow_fragment_loader.h:351-389) --
 
     def partition_edges(self, num_partitions: int, by: str = "src", strategy: str = "hash") -> "Graph":

@@ -47,3 +47,60 @@ def test_meta_struct(spark, docs):
     assert row["meta"]["lang"] == "de"
     assert row["meta"]["n_chars"] == 13
     assert isinstance(row["blob"], (bytes, bytearray))
+
+
+def test_ppm_decode_roundtrip():
+    import numpy as np
+    from linkgraph.multimodal import decode_image, make_ppm
+
+    payload = make_ppm(7, 5, seed=3)
+    img = decode_image(payload)
+    assert img.shape == (5, 7, 3)
+    # roundtrip: re-encoding the array gives the same payload
+    assert make_ppm(7, 5, seed=3)[-img.size:] == img.tobytes()
+
+
+def test_bmp_decode():
+    import numpy as np
+    from linkgraph.multimodal import decode_image
+
+    # hand-built 2x2 24-bit BMP, bottom-up rows padded to 4 bytes
+    w, h = 2, 2
+    row = (w * 3 + 3) & ~3
+    pix = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)  # RGB truth
+    bgr = pix[..., ::-1]
+    body = b"".join(bgr[r].tobytes() + b"\x00" * (row - w * 3) for r in (1, 0))
+    header = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24
+    )
+    img = decode_image(header + body)
+    assert (img == pix).all()
+
+
+def test_image_stats_through_spark(spark):
+    import numpy as np
+    from linkgraph.multimodal import image_stats, make_ppm, decode_image
+
+    rows = [(i, bytearray(make_ppm(4 + i, 3, seed=i))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in image_stats(df).collect()}
+    for i in range(5):
+        img = decode_image(make_ppm(4 + i, 3, seed=i))
+        assert got[i]["width"] == 4 + i and got[i]["height"] == 3
+        assert np.allclose(got[i]["mean_rgb"], img.reshape(-1, 3).mean(axis=0))
+
+
+def test_graph_save_load_roundtrip(spark, tmp_path):
+    from linkgraph.graph import Graph
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame([(1, 2, 0.5), (2, 3, 1.5)], "src long, dst long, w double")
+    g = Graph.from_edges(e, directed=False, weight_col="w")
+    p = str(tmp_path / "gsave")
+    g.save(p)
+    g2 = Graph.load(spark, p)
+    assert g2.directed is False and g2.weight_col == "w"
+    assert sorted(map(tuple, g2.edges.collect())) == sorted(map(tuple, e.collect()))
