@@ -75,6 +75,32 @@ def main() -> None:
     extra["n_triangles"] = n_tri
 
     t0 = time.time()
+    from linkgraph.algos.louvain import louvain_phase1
+    from linkgraph.graph import Graph
+    from linkgraph.tpch_graph import part_edges
+
+    lg = Graph.from_edges(part_edges(spark, sf_dir), directed=True, weight_col="weight")
+    lv = louvain_phase1(lg, max_round=4)
+    lv.state.count()
+    queries["louvain_p1_4"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from linkgraph.algos.cores import kshell
+
+    ks = kshell(g)
+    ks.state.count()
+    queries["kshell"] = round(time.time() - t0, 3)
+    extra["kshell_rounds"] = ks.rounds
+
+    t0 = time.time()
+    from linkgraph.algos.paths import betweenness_centrality
+
+    srcs = g.deduced_vertices().orderBy("id").limit(16)
+    bw = betweenness_centrality(g, sources=srcs, directed=False)
+    bw.state.count()
+    queries["betweenness_16src"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     pl.lsh_candidate_pairs(spark, sf_dir).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
 

@@ -20,13 +20,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow running without --py-files / PYTHONPATH: the repo root (parent
+# of jobs/) carries the linkgraph package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="run_algo")
     ap.add_argument("algo", choices=[
         "pagerank", "wcc", "cdlp", "triangles", "lcc", "bfs", "sssp", "hits", "kcore",
+        "kshell", "louvain", "closeness", "betweenness", "voterank", "sssp_path",
+        "eigenvector", "katz",
     ])
     ap.add_argument("--edges", required=True, help="parquet with (src,dst[,props])")
     ap.add_argument("--vertices", default=None, help="optional parquet with (id,...)")
@@ -102,6 +109,34 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "kcore":
         from linkgraph.algos.cores import kcore
         res = kcore(g, k=args.k, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "kshell":
+        from linkgraph.algos.cores import kshell
+        res = kshell(g, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "louvain":
+        from linkgraph.algos.louvain import louvain
+        res = louvain(g, max_round=args.max_round, num_partitions=args.partitions)
+    elif args.algo == "closeness":
+        from linkgraph.algos.paths import closeness_centrality
+        res = closeness_centrality(g, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "betweenness":
+        from linkgraph.algos.paths import betweenness_centrality
+        res = betweenness_centrality(g, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "voterank":
+        from linkgraph.algos.ranking import voterank
+        out = voterank(g, num_seeds=args.k, num_partitions=args.partitions)
+        res = None
+    elif args.algo == "sssp_path":
+        from linkgraph.algos.paths import sssp_path
+        res = sssp_path(g, source=args.source, weight_col=args.weight_col,
+                        engine=eng, num_partitions=args.partitions)
+    elif args.algo == "eigenvector":
+        from linkgraph.algos.centrality import eigenvector_centrality
+        res = eigenvector_centrality(g, max_iter=args.max_iter, tol=args.tol,
+                                     engine=eng, num_partitions=args.partitions)
+    elif args.algo == "katz":
+        from linkgraph.algos.centrality import katz_centrality
+        res = katz_centrality(g, alpha=args.alpha, max_iter=args.max_iter,
+                              tol=args.tol, engine=eng, num_partitions=args.partitions)
 
     if res is not None:
         out = res.state
