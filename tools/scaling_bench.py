@@ -29,21 +29,24 @@ from linkgraph.session import get_spark
 from linkgraph.datagen import skewed_graph
 from linkgraph.graph import Graph
 from linkgraph.algos.pagerank import pagerank
+from linkgraph.csr import pagerank_csr
 
 cpus = int(sys.argv[1]); nv = int(sys.argv[2]); deg = int(sys.argv[3]); rounds = int(sys.argv[4])
+mode = sys.argv[5] if len(sys.argv) > 5 else "join"
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 e = skewed_graph(spark, n_vertices=nv, avg_degree=deg, seed=42).repartition(cpus, "src").persist()
 n_edges = e.count()
 g = Graph.from_edges(e, directed=True)
 t0 = time.time()
-res = pagerank(g, max_iter=rounds, tol=0.0)
+fn = pagerank_csr if mode == "csr" else pagerank
+res = fn(g, max_iter=rounds, tol=0.0)
 res.state.count()
 wall = time.time() - t0
 secs = [m["superstep_sec"] for m in res.metrics]
 # steady-state: median of the last half (first rounds pay JIT/codegen
 # warm-up, a one-time cost irrelevant at production iteration counts)
 steady = statistics.median(secs[len(secs) // 2:])
-print(json.dumps({{"cpus": cpus, "n_edges": n_edges, "rounds": rounds,
+print(json.dumps({{"cpus": cpus, "mode": mode, "n_edges": n_edges, "rounds": rounds,
                   "wall_s": round(wall, 2),
                   "superstep_secs": [round(s, 2) for s in secs],
                   "steady_sec_per_superstep": round(steady, 3),
@@ -52,10 +55,11 @@ spark.stop()
 """
 
 
-def run_level(repo: str, cpus: int, nv: int, deg: int, rounds: int) -> dict:
+def run_level(repo: str, cpus: int, nv: int, deg: int, rounds: int,
+              mode: str = "join") -> dict:
     code = WORKER.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(nv), str(deg), str(rounds)],
+        [sys.executable, "-c", code, str(cpus), str(nv), str(deg), str(rounds), mode],
         capture_output=True, text=True, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -67,14 +71,17 @@ def main() -> None:
     nv = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     deg = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    lo = run_level(repo, 8, nv, deg, rounds)
-    hi = run_level(repo, 32, nv, deg, rounds)
-    eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / (32 / 8)
+    n_lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    mode = sys.argv[5] if len(sys.argv) > 5 else "join"
+    n_hi = n_lo * 4
+    lo = run_level(repo, n_lo, nv, deg, rounds, mode)
+    hi = run_level(repo, n_hi, nv, deg, rounds, mode)
+    eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / (n_hi / n_lo)
     print(json.dumps({
-        "job": "pagerank_fixed_rounds",
+        "job": f"pagerank_fixed_rounds[{mode}]",
         "n_vertices": nv, "avg_degree": deg, "rounds": rounds,
-        "local8": lo, "local32": hi,
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"local{n_lo}": lo, f"local{n_hi}": hi,
+        f"scaling_efficiency_{n_lo}_to_{n_hi}": round(eff, 3),
     }))
 
 
