@@ -85,6 +85,9 @@ def _scatter_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out.groupby("dst", sort=False, as_index=False)["c"].sum()
 
 
+HUB_SPLIT_DEGREE = 65_536
+
+
 def pagerank_csr(
     graph: Graph,
     alpha: float = 0.85,
@@ -92,10 +95,21 @@ def pagerank_csr(
     tol: float = 1e-6,
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
+    hub_degree: int = HUB_SPLIT_DEGREE,
 ) -> SuperstepResult:
     """PageRank with identical semantics to linkgraph.algos.pagerank
     (pagerank_networkx.h:54-163 transcription) but with the CSR-block
-    scatter kernel instead of an edge join per superstep."""
+    scatter kernel instead of an edge join per superstep.
+
+    Hub split: chunking alone bounds ROW size, but every chunk of a
+    hub source still hashes to the same src partition — a 4M-degree
+    hub made one task own 20% of all edges (measured 3.3× per-edge
+    slowdown, tools/skew_bench.py). Sources with out-degree ≥
+    ``hub_degree`` therefore go to a separate block frame partitioned
+    ROUND-ROBIN over all partitions; their per-superstep messages are
+    a ≤|hubs|-row frame that broadcasts, so the hub blocks never
+    shuffle and every partition carries an even share of hub edges —
+    the top_hub_split discipline wired into the hot path."""
     spark = graph.edges.sparkSession
     eng = engine or SuperstepEngine(spark)
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -103,15 +117,25 @@ def pagerank_csr(
     edges = graph.edges.select("src", "dst") if graph.directed else (
         graph.to_undirected(dedup=True).edges.select("src", "dst")
     )
-    adj = adjacency_blocks(edges, P).persist()
-    n_edges = adj.agg(F.sum("odeg")).collect()[0][0] or 0
+    src_totals = edges.groupBy("src").agg(F.count("*").alias("t")).persist()
+    hub_ids = src_totals.where(F.col("t") >= hub_degree).select("src")
+    n_hubs = hub_ids.count()
+    if n_hubs:
+        tail_edges = edges.join(F.broadcast(hub_ids), "src", "left_anti")
+        hub_edges = edges.join(F.broadcast(hub_ids), "src", "left_semi")
+        hub_adj = adjacency_blocks(hub_edges, P).repartition(P).persist()
+        n_hub_blocks = hub_adj.count()
+    else:
+        tail_edges = edges
+        hub_adj = None
+        n_hub_blocks = 0
+    adj = adjacency_blocks(tail_edges, P).persist()
+    n_edges = src_totals.agg(F.sum("t")).collect()[0][0] or 0
 
     verts = graph.deduced_vertices()
-    # full out-degree per source (a chunked hub owns several adj rows,
-    # so odeg of a single row is NOT the degree — sum over its blocks)
-    src_deg = adj.groupBy(F.col("src").alias("id")).agg(
-        F.sum("odeg").cast("long").alias("odeg")
-    )
+    # full out-degree per source (a chunked source owns several adj
+    # rows, hubs live in their own frame — sum over both)
+    src_deg = src_totals.select(F.col("src").alias("id"), F.col("t").cast("long").alias("odeg"))
     deg = (
         verts.join(src_deg, "id", "left")
         .select("id", F.coalesce("odeg", F.lit(0)).cast("long").alias("deg"))
@@ -143,6 +167,17 @@ def pagerank_csr(
         partials = adj.join(msgs_in.hint("SHUFFLE_HASH"), "src").select("nbrs", "odeg", "w").mapInPandas(
             _scatter_kernel, schema="dst long, c double"
         )
+        if n_hub_blocks:
+            # hub sources: their messages are a tiny frame (one row per
+            # hub) — broadcast it onto the round-robin-spread hub
+            # blocks, so no partition owns a whole hub's edge list
+            hub_msgs = msgs_in.join(F.broadcast(hub_ids), "src", "left_semi")
+            hub_partials = (
+                hub_adj.join(F.broadcast(hub_msgs), "src")
+                .select("nbrs", "odeg", "w")
+                .mapInPandas(_scatter_kernel, schema="dst long, c double")
+            )
+            partials = partials.unionByName(hub_partials)
         contribs = partials.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("msg"))
         new_state = (
             state_join(state.withColumnRenamed("rank", "prev_rank"), contribs)
@@ -176,4 +211,7 @@ def pagerank_csr(
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("id", "rank")
     adj.unpersist()
+    src_totals.unpersist()
+    if hub_adj is not None:
+        hub_adj.unpersist()
     return result
