@@ -75,12 +75,21 @@ class SuperstepEngine:
         checkpoint_every: int = 5,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         record_partition_lineage: bool = False,
+        checkpoint_format: str | None = None,
     ) -> None:
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
         self.storage_level = storage_level
         self.record_partition_lineage = record_partition_lineage
+        # table format for durable checkpoints: parquet by default;
+        # set "iceberg" (env SPARK_GRAFT_CHECKPOINT_FORMAT or arg) on a
+        # cluster with the Iceberg runtime + a path-based hadoop
+        # catalog to get snapshot-isolation checkpoints — the write
+        # path is format-agnostic (.format(fmt).save/load)
+        self.checkpoint_format = checkpoint_format or os.environ.get(
+            "SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet"
+        )
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -127,7 +136,9 @@ class SuperstepEngine:
                     last = rec
         if last is None:
             return None
-        return int(last["round"]), self.spark.read.parquet(last["path"])
+        return int(last["round"]), self.spark.read.format(self.checkpoint_format).load(
+            last["path"]
+        )
 
     # -- the loop ---------------------------------------------------------
 
@@ -159,8 +170,11 @@ class SuperstepEngine:
                 # durable truncation: the parquet write executes the
                 # superstep plan; the reread is a shallow scan
                 path = self._ckpt_path(round_)
-                new_state.write.mode("overwrite").parquet(path)
-                new_state = self.spark.read.parquet(path).persist(self.storage_level)
+                new_state.write.mode("overwrite").format(self.checkpoint_format).save(path)
+                new_state = (
+                    self.spark.read.format(self.checkpoint_format).load(path)
+                    .persist(self.storage_level)
+                )
             else:
                 # in-memory truncation (single execution, cached)
                 new_state = new_state.localCheckpoint(eager=True)
@@ -174,7 +188,9 @@ class SuperstepEngine:
                 # metrics/lineage row always accompanies a durable state;
                 # at halt the cached frame is dumped durably too
                 if not on_cadence:
-                    new_state.write.mode("overwrite").parquet(self._ckpt_path(round_))
+                    new_state.write.mode("overwrite").format(self.checkpoint_format).save(
+                        self._ckpt_path(round_)
+                    )
                 self._append_metrics_row(new_state, round_, metrics)
 
             state.unpersist()
