@@ -85,7 +85,15 @@ def main(argv: list[str] | None = None) -> int:
         res = wcc(g, engine=eng, num_partitions=args.partitions, resume=args.resume)
     elif args.algo == "cdlp":
         from linkgraph.algos.cdlp import cdlp
-        res = cdlp(g, max_round=args.max_round,
+        # back-compat: cdlp historically took --max-iter; honor it when
+        # --max-round was left at its default instead of silently
+        # changing behavior of existing invocations
+        rounds = args.max_round
+        if args.max_round == 10 and args.max_iter != 100:
+            print(f"run_algo: cdlp using --max-iter={args.max_iter} as rounds "
+                  "(pass --max-round to silence)", file=sys.stderr)
+            rounds = args.max_iter
+        res = cdlp(g, max_round=rounds,
                    engine=eng, num_partitions=args.partitions)
     elif args.algo == "triangles":
         from linkgraph.algos.triangles import triangles
@@ -114,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
         res = kshell(g, engine=eng, num_partitions=args.partitions)
     elif args.algo == "louvain":
         from linkgraph.algos.louvain import louvain
-        res = louvain(g, max_round=args.max_round, num_partitions=args.partitions)
+        res = louvain(g, max_round=args.max_round, engine=eng,
+                      num_partitions=args.partitions)
     elif args.algo == "closeness":
         from linkgraph.algos.paths import closeness_centrality
         res = closeness_centrality(g, engine=eng, num_partitions=args.partitions)

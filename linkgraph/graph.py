@@ -169,14 +169,12 @@ class Graph:
         the reference's save_to(path) graph archive, with parquet (or
         csv/orc) standing in for its GraphAr/serialization formats."""
         import json as _json
-        import os as _os
 
-        _os.makedirs(path, exist_ok=True)
-        self.edges.write.mode("overwrite").format(format).save(_os.path.join(path, "edges"))
+        self.edges.write.mode("overwrite").format(format).save(f"{path}/edges")
         has_vertices = self.vertices is not None
         if has_vertices:
             self.vertices.write.mode("overwrite").format(format).save(
-                _os.path.join(path, "vertices")
+                f"{path}/vertices"
             )
         meta = {
             "directed": self.directed,
@@ -184,22 +182,26 @@ class Graph:
             "has_vertices": has_vertices,
             "format": format,
         }
-        with open(_os.path.join(path, "meta.json"), "w") as fh:
-            fh.write(_json.dumps(meta))
+        # write meta through a Spark writer so edges/vertices/meta all
+        # resolve against the same filesystem (s3://, hdfs://, file://) —
+        # a driver-local open() would silently land the meta on local
+        # disk for remote paths and break the archive round-trip
+        spark = self.edges.sparkSession
+        spark.createDataFrame([(_json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").text(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "Graph":
         """Deserialize a graph written by :meth:`save` — the
         load_from round-trip (graph.py:1285-1346)."""
         import json as _json
-        import os as _os
 
-        with open(_os.path.join(path, "meta.json")) as fh:
-            meta = _json.loads(fh.read())
+        meta = _json.loads(spark.read.text(f"{path}/meta").first()[0])
         fmt = meta.get("format", "parquet")
-        edges = spark.read.format(fmt).load(_os.path.join(path, "edges"))
+        edges = spark.read.format(fmt).load(f"{path}/edges")
         vertices = (
-            spark.read.format(fmt).load(_os.path.join(path, "vertices"))
+            spark.read.format(fmt).load(f"{path}/vertices")
             if meta.get("has_vertices")
             else None
         )

@@ -61,14 +61,25 @@ def decode_image(payload: bytes) -> np.ndarray:
     NotImplementedError (the codec libs are absent here; the Spark
     plumbing around this function is real and tested either way)."""
     if payload[:2] == b"P6":
-        # P6 header: magic, whitespace-separated width/height/maxval
-        parts = payload.split(maxsplit=4)
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        # P6 header: magic, then three whitespace-delimited ints
+        # (width, height, maxval), then exactly ONE whitespace byte
+        # before pixel data. Parse positionally — searching for the
+        # maxval token's byte value misfires when width/height contain
+        # the same digits (e.g. width 255, maxval 255).
+        pos = 2
+        vals = []
+        for _ in range(3):
+            while payload[pos] in b" \t\r\n":
+                pos += 1
+            start = pos
+            while payload[pos] not in b" \t\r\n":
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        w, h, maxval = vals
         if maxval > 255:
             raise NotImplementedError("16-bit PPM not supported")
-        # pixel data starts one byte after the maxval token
-        header_len = payload.index(parts[3], len(parts[0])) + len(parts[3]) + 1
-        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=header_len)
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         return arr.reshape(h, w, 3)
     if payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
@@ -113,12 +124,17 @@ def _feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for o, b in zip(offs, blobs):
             buf[o : o + len(b)] = np.frombuffer(bytes(b), dtype=np.uint8)
         cols = buf.reshape(-1, FEATURE_DIM).astype(np.int64)
-        if len(cols) == 0:
-            feats = np.zeros((len(pdf), FEATURE_DIM))
-        else:
-            row_starts = np.minimum(offs // FEATURE_DIM, len(cols) - 1)
-            feats = np.add.reduceat(cols, row_starts, axis=0).astype(np.float64)
-            feats[padded == 0] = 0.0  # empty segment: reduceat copies the next row
+        # empty payloads get zero features; drop them BEFORE reduceat —
+        # an empty segment's start equals the next segment's start (or
+        # falls past the end for trailing empties), and clipping it
+        # would silently truncate the preceding document's segment
+        nonempty = padded > 0
+        feats = np.zeros((len(pdf), FEATURE_DIM))
+        if nonempty.any():
+            row_starts = (offs[nonempty] // FEATURE_DIM).astype(np.int64)
+            feats[nonempty] = np.add.reduceat(cols, row_starts, axis=0).astype(
+                np.float64
+            )
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

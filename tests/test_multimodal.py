@@ -80,6 +80,43 @@ def test_bmp_decode():
     assert (img == pix).all()
 
 
+def test_ppm_decode_maxval_digits_in_dims():
+    # width 255 makes the maxval token '255' appear earlier in the
+    # header — a token-search offset parse decodes shifted pixels
+    from linkgraph.multimodal import decode_image, make_ppm
+
+    payload = make_ppm(255, 2, seed=1)
+    img = decode_image(payload)
+    assert img.shape == (2, 255, 3)
+    assert payload[-img.size:] == img.tobytes()
+
+
+def test_feature_kernel_trailing_empty_blob(spark):
+    # trailing empty payloads must not truncate the previous
+    # document's histogram segment (reduceat end-clipping)
+    import numpy as np
+
+    blob = bytes(range(16))
+    df = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(b"")), (2, bytearray(b"")),
+         (3, bytearray(bytes(range(8, 31))))],
+        "doc_id long, blob binary",
+    )
+    out = df.mapInPandas(
+        mm._feature_kernel,
+        schema="doc_id long, n_bytes long, content_sha string, feature array<double>",
+    )
+    rows = {r["doc_id"]: r["feature"] for r in out.collect()}
+    exp0 = np.frombuffer(blob, dtype=np.uint8).reshape(-1, 8).sum(axis=0)
+    assert rows[0] == exp0.astype(float).tolist()
+    assert rows[1] == [0.0] * mm.FEATURE_DIM
+    assert rows[2] == [0.0] * mm.FEATURE_DIM
+    padded3 = np.zeros(24, dtype=np.uint8)
+    padded3[:23] = np.frombuffer(bytes(range(8, 31)), dtype=np.uint8)
+    exp3 = padded3.reshape(-1, 8).sum(axis=0)
+    assert rows[3] == exp3.astype(float).tolist()
+
+
 def test_image_stats_through_spark(spark):
     import numpy as np
     from linkgraph.multimodal import image_stats, make_ppm, decode_image
