@@ -1339,10 +1339,10 @@ lab(id, comp) AS (
     SELECT s.dst, l.comp FROM lab l JOIN sym2 s ON s.src = l.id WHERE l.comp < s.dst)
 SELECT id AS doc_id, min(comp) AS canonical_id FROM lab GROUP BY id"""
     )
-    dim, bits, nq, kk = 64, pl.ANN_BITS, 10, 10
-    planes = pl.ann_hyperplanes(dim, bits)
+    dim, bits, tables, nq, kk = 64, pl.ANN_BITS, pl.ANN_TABLES, 10, 10
     plane_rows = ", ".join(
-        f"({j}, [{', '.join(str(float(x)) for x in planes[j])}]::DOUBLE[])"
+        f"({t}, {j}, [{', '.join(str(float(x)) for x in pl.ann_hyperplanes(dim, bits, table=t)[j])}]::DOUBLE[])"
+        for t in range(tables)
         for j in range(bits)
     )
     sql["embedding_ann"] = f"""
@@ -1351,24 +1351,32 @@ WITH emb AS MATERIALIZED (
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> floor(x * {pl.ANN_QUANT} + 0.5)) AS vq
     FROM embeddings),
-planes(j, h) AS (VALUES {plane_rows}),
+planes(t, j, h) AS (VALUES {plane_rows}),
 sig AS MATERIALIZED (
-    SELECT e.vec_id,
+    SELECT e.vec_id, p.t,
            sum(CASE WHEN list_dot_product(e.vq, p.h) >= 0
                THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS bucket
-    FROM emb e CROSS JOIN planes p GROUP BY e.vec_id),
-embb AS MATERIALIZED (
-    SELECT e.vec_id, e.v, s.bucket FROM emb e JOIN sig s USING (vec_id)),
-q AS (SELECT vec_id AS q, v AS qv, bucket FROM embb WHERE vec_id < {nq}),
+    FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+flat AS MATERIALIZED (
+    SELECT e.vec_id, e.v, s.t, s.bucket FROM emb e JOIN sig s USING (vec_id)),
+q0 AS (SELECT vec_id AS q, v AS qv, t, bucket FROM flat WHERE vec_id < {nq}),
+-- multi-probe within each table: own bucket + every single-bit flip
+q AS (
+    SELECT q, qv, t, unnest([bucket] || [xor(bucket, CAST(1 AS BIGINT) << j)
+                             for j in generate_series(0, {bits - 1})]) AS bucket
+    FROM q0),
 cand AS (
-    SELECT q.q, e.vec_id,
-           list_dot_product(q.qv, e.v)
-           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
-    FROM embb e JOIN q ON q.bucket = e.bucket AND e.vec_id <> q.q),
+    SELECT DISTINCT q.q, e.vec_id, e.v, q.qv
+    FROM flat e JOIN q ON q.t = e.t AND q.bucket = e.bucket AND e.vec_id <> q.q),
+scored AS (
+    SELECT q, vec_id,
+           list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+    FROM cand),
 ranked AS (
     SELECT q, vec_id,
            row_number() OVER (PARTITION BY q ORDER BY sim DESC, vec_id ASC) AS rank, sim
-    FROM cand)
+    FROM scored)
 SELECT q, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= {kk}"""
     sql["simhash"] = (

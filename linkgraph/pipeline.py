@@ -27,6 +27,7 @@ MINHASH_SEEDS = 16
 LSH_BAND_ROWS = 4
 NGRAM_MAX_DF = 256  # drop shingles shared by more docs before the pair join
 ANN_BITS = 8        # hyperplane-LSH signature width
+ANN_TABLES = 2      # independent hash tables (OR-construction)
 ANN_QUANT = 1024.0  # fixed-point quantization for exact cross-engine signs
 
 
@@ -347,15 +348,17 @@ def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_hyperplanes(dim: int, bits: int = ANN_BITS) -> list[list[int]]:
+def ann_hyperplanes(dim: int, bits: int = ANN_BITS, table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random integer hyperplanes (md5-seeded,
     values in [-1000, 1000]) shared verbatim by the Spark plan and the
-    SQL oracle."""
+    SQL oracle. ``table`` selects an independent plane set for the
+    OR-construction (table 0 keeps the original seeds)."""
     import hashlib as _hl
 
+    pre = "" if table == 0 else f"t{table}:"
     return [
         [
-            int(_hl.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            int(_hl.md5(f"{pre}{j}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
             for d in range(dim)
         ]
         for j in range(bits)
@@ -368,39 +371,77 @@ def embedding_ann(
     n_queries: int = 10,
     k: int = 10,
     bits: int = ANN_BITS,
+    multiprobe: bool = True,
+    tables: int = ANN_TABLES,
 ) -> DataFrame:
     """Bucketed approximate nearest neighbors: random-hyperplane LSH
-    signature (one sign bit per hyperplane over the quantized vector),
-    bucket-join queries to candidates sharing the signature, exact
-    cosine re-rank inside the bucket. (q, vec_id, rank, sim).
+    signatures (one sign bit per hyperplane over the quantized
+    vector), bucket-join queries to candidates, exact cosine re-rank
+    inside the bucket. (q, vec_id, rank, sim).
+
+    Recall machinery (the OR-construction that keeps recall from
+    cliffing as N grows):
+      * ``tables`` independent hash tables — a candidate matching the
+        query in ANY table is probed;
+      * ``multiprobe`` — within each table the query probes its own
+        bucket PLUS the ``bits`` single-bit-flip neighbor buckets.
+    Candidates are deduped before re-rank, and the re-rank is
+    two-stage (local per-partition top-k, then the per-query window)
+    so no single reducer sees all probed rows.
 
     This is the 10⁹-vector scale path next to the exact
-    embedding_topk baseline: the join is keyed by the bucket id —
-    never all-pairs — and the re-rank touches only same-bucket rows.
+    embedding_topk baseline: the join is keyed by (table, bucket) —
+    never all-pairs — and the re-rank touches only probed rows.
     """
+    from pyspark.sql.window import Window
+
     emb = _quantized_emb(spark, sf_dir)
     dim = len(emb.select("v").first()["v"])
-    planes = ann_hyperplanes(dim, bits)
-    sig = F.lit(0).cast("long")
-    for j, h in enumerate(planes):
-        hcol = F.array(*[F.lit(x).cast("long") for x in h])
-        dot = F.aggregate(
-            F.zip_with("vq", hcol, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    emb = emb.withColumn("bucket", sig)
-    q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q"), F.col("v").alias("qv"), "bucket"
+
+    def sig_col(table: int):
+        planes = ann_hyperplanes(dim, bits, table=table)
+        sig = F.lit(0).cast("long")
+        for j, h in enumerate(planes):
+            hcol = F.array(*[F.lit(x).cast("long") for x in h])
+            dot = F.aggregate(
+                F.zip_with("vq", hcol, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        return sig
+
+    # (t, bucket) rows per vector — T× linear blowup, bucketed key
+    emb = emb.withColumn(
+        "tb",
+        F.array(*[
+            F.struct(F.lit(t).alias("t"), sig_col(t).alias("bucket"))
+            for t in range(tables)
+        ]),
     )
+    flat = emb.select(
+        "vec_id", "v", F.explode("tb").alias("x")
+    ).select("vec_id", "v", F.col("x.t").alias("t"), F.col("x.bucket").alias("bucket"))
+    q = flat.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"), "t", "bucket"
+    )
+    if multiprobe:
+        # probe set per table = own bucket + every single-bit flip
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(bits)],
+        )
+        q = q.withColumn("bucket", F.explode(flips))
     dotf = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     cand = (
-        emb.select("vec_id", "v", "bucket")
-        .join(F.broadcast(q), "bucket")
+        flat.select("vec_id", "v", "t", "bucket")
+        .join(F.broadcast(q), ["t", "bucket"])
         .where(F.col("vec_id") != F.col("q"))
+        # a candidate can land in several probed buckets/tables —
+        # dedup BEFORE the (cheap, but per-row) cosine evaluation
+        .dropDuplicates(["q", "vec_id"])
         .select(
             "q",
             "vec_id",
@@ -410,11 +451,18 @@ def embedding_ann(
             ).alias("sim"),
         )
     )
-    from pyspark.sql.window import Window
-
+    # two-stage top-k (same shape as embedding_topk): per-partition
+    # local top-k bounds the final per-query window input to
+    # k·#partitions rows instead of the whole probed candidate set
+    wl = Window.partitionBy("q", "_pid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    local = (
+        cand.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(wl))
+        .where(F.col("_lr") <= k)
+    )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q", "vec_id", F.col("rank").cast("long").alias("rank"),
                 F.round("sim", 6).alias("sim"))
