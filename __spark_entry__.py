@@ -51,6 +51,8 @@ AVGLEN_SOURCES = 64
 BETW_SOURCES = 16
 BETW_LAYERS = 12
 LOUVAIN_ROUNDS = 4
+LOUVAIN_FULL_ROUNDS = 3
+LOUVAIN_FULL_LEVELS = 2
 BOUNDARY_SOURCES = 100
 ATTR_CATS = 7
 KSHELL_LAYERS = 40
@@ -295,6 +297,20 @@ def _q_louvain(spark, sf_dir):
     return res.state.select("id", "community")
 
 
+def _q_louvain_full(spark, sf_dir):
+    """FULL multi-level Louvain (local moves + phase-2 coarsening +
+    label fold-back, apps/pregel/louvain/louvain.h:41-48) with a fixed
+    round/level budget so the DuckDB twin can unroll the exact same
+    computation — coarsening arithmetic included."""
+    from linkgraph.algos.louvain import louvain
+
+    edges = part_edges(spark, sf_dir)
+    g = Graph.from_edges(edges, directed=True, weight_col="weight")
+    res = louvain(g, max_round=LOUVAIN_FULL_ROUNDS,
+                  max_levels=LOUVAIN_FULL_LEVELS, force_all_levels=True)
+    return res.state.select("id", "community")
+
+
 def _q_clustering_directed(spark, sf_dir):
     """Fagiolo directed clustering coefficient on the directed
     co-occurrence edge set (apps/clustering/clustering.h:258-267)."""
@@ -481,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_avg_length": _q_avg_length,
         "betweenness": _q_betweenness,
         "louvain": _q_louvain,
+        "louvain_full": _q_louvain_full,
         "kshell": _q_kshell,
         "clustering_directed": _q_clustering_directed,
         "degree_assortativity": _q_degree_assortativity,
@@ -1040,6 +1057,87 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     return "\n".join(parts)
 
 
+def _louvain_full_sql(
+    rounds: int = LOUVAIN_FULL_ROUNDS, levels: int = LOUVAIN_FULL_LEVELS
+) -> str:
+    """Unrolled FULL multi-level Louvain: per level, ``rounds``
+    deterministic local-move rounds (the _louvain_sql recurrence plus
+    the supernode-internal-weight term, which is 0 at level 0), then
+    the phase-2 coarsening (inter-community weights summed into the
+    coarse edge frame; intra weights — already ×2 via the symmetric
+    frame — plus carried internals become the supernode internal), and
+    the original-id → community mapping fold. All weights stay
+    integer-valued doubles; ΔQ has a single IEEE division by the
+    level-0 m2, so both engines tie-break identically."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", ew0 AS MATERIALIZED (SELECT src, dst, weight AS w FROM edges"
+        " UNION ALL SELECT dst AS src, src AS dst, weight AS w FROM edges)",
+        ", n0 AS MATERIALIZED (SELECT v.id, coalesce(kk.k, 0.0) AS k, 0.0 AS internal"
+        " FROM verts v LEFT JOIN (SELECT src AS id, sum(w) AS k FROM ew0 GROUP BY src) kk"
+        " ON kk.id = v.id)",
+        ", m2 AS (SELECT sum(k) AS v FROM n0)",
+    ]
+    for lv in range(levels):
+        parts.append(
+            f", l{lv}s0 AS MATERIALIZED (SELECT id, id AS c, k, internal FROM n{lv})"
+        )
+        for r in range(rounds):
+            even = 1 if r % 2 == 0 else 0
+            parts.append(
+                f""", l{lv}sig{r} AS MATERIALIZED (SELECT c, sum(k) AS sig FROM l{lv}s{r} GROUP BY c)
+, l{lv}wic{r} AS MATERIALIZED (
+  SELECT e.src AS id, l.c AS nc, sum(e.w) AS wi
+  FROM ew{lv} e JOIN l{lv}s{r} l ON l.id = e.dst GROUP BY e.src, l.c)
+, l{lv}cand{r} AS MATERIALIZED (
+  SELECT w.id, w.nc,
+    CASE WHEN w.nc = cur.c AND s.sig - cur.k = 0 THEN 0.0
+         ELSE w.wi + CASE WHEN w.nc = cur.c THEN cur.internal ELSE 0.0 END
+              - cur.k * (s.sig - CASE WHEN w.nc = cur.c THEN cur.k ELSE 0.0 END)
+              / (SELECT v FROM m2)
+    END AS dq
+  FROM l{lv}wic{r} w JOIN l{lv}s{r} cur ON cur.id = w.id
+  JOIN l{lv}sig{r} s ON s.c = w.nc
+  UNION ALL
+  SELECT id, c AS nc, 0.0 AS dq FROM l{lv}s{r})
+, l{lv}best{r} AS MATERIALIZED (
+  SELECT id, nc AS best FROM (
+    SELECT id, nc, dq,
+           row_number() OVER (PARTITION BY id ORDER BY dq DESC, nc ASC) AS rn
+    FROM l{lv}cand{r}) WHERE rn = 1)
+, l{lv}s{r + 1} AS MATERIALIZED (
+  SELECT l.id,
+    CASE WHEN (l.c > b.best AND {even} = 1) OR (l.c < b.best AND {even} = 0)
+         THEN l.c ELSE b.best END AS c,
+    l.k, l.internal
+  FROM l{lv}s{r} l JOIN l{lv}best{r} b ON b.id = l.id)"""
+            )
+        fin = f"l{lv}s{rounds}"
+        if lv == 0:
+            parts.append(f", map1 AS MATERIALIZED (SELECT id, c AS community FROM {fin})")
+        else:
+            parts.append(
+                f""", map{lv + 1} AS MATERIALIZED (
+  SELECT m.id, s.c AS community
+  FROM map{lv} m JOIN {fin} s ON s.id = m.community)"""
+            )
+        if lv < levels - 1:
+            parts.append(
+                f""", cx{lv} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, la.c AS ca, lb.c AS cb
+  FROM ew{lv} e JOIN {fin} la ON la.id = e.src JOIN {fin} lb ON lb.id = e.dst)
+, ew{lv + 1} AS MATERIALIZED (
+  SELECT ca AS src, cb AS dst, sum(w) AS w FROM cx{lv} WHERE ca <> cb GROUP BY ca, cb)
+, n{lv + 1} AS MATERIALIZED (
+  SELECT g.id, g.k, coalesce(i.intra, 0.0) + g.bi AS internal
+  FROM (SELECT c AS id, sum(k) AS k, sum(internal) AS bi FROM {fin} GROUP BY c) g
+  LEFT JOIN (SELECT ca AS id, sum(w) AS intra FROM cx{lv} WHERE ca = cb GROUP BY ca) i
+    ON i.id = g.id)"""
+            )
+    parts.append(f"SELECT id, community FROM map{levels}")
+    return "\n".join(parts)
+
+
 _TRI_SQL_BODY = """
 , degt AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
 , ori AS MATERIALIZED (
@@ -1156,6 +1254,7 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["sssp_avg_length"] = _avg_length_sql()
     sql["betweenness"] = _betweenness_sql()
     sql["louvain"] = _louvain_sql()
+    sql["louvain_full"] = _louvain_full_sql()
     sql["kshell"] = _kshell_sql()
     sql["clustering_directed"] = _clustering_directed_sql()
     sql["degree_assortativity"] = (

@@ -57,6 +57,13 @@ def _weighted_sym_edges(graph: Graph, P: int) -> DataFrame:
     )
 
 
+# community-totals frames with at most this many rows are broadcast in
+# the local-move join; bigger ones (level 0 starts at |V| communities)
+# go through a shuffled-hash join — broadcasting a V-row frame every
+# round is a driver/executor OOM at 10⁹ vertices
+BROADCAST_COMMS_MAX = 1_000_000
+
+
 def louvain_local_move(
     edges: DataFrame,
     nodes: DataFrame,
@@ -64,15 +71,19 @@ def louvain_local_move(
     max_round: int = 10,
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
+    n_nodes: int | None = None,
 ) -> SuperstepResult:
     """One phase-1 pass over a (possibly coarsened) graph.
 
     edges: symmetric (src, dst, w); nodes: (id, k, internal) with
     k = weighted degree + internal. Returns state (id, c, k, internal).
+    ``n_nodes`` (an upper bound on the community count) picks the
+    community-totals join strategy; None = assume big, never broadcast.
     """
     spark = edges.sparkSession
     eng = engine or SuperstepEngine(spark)
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bcast_sig = n_nodes is not None and n_nodes <= BROADCAST_COMMS_MAX
 
     init = nodes.select("id", F.col("id").alias("c"), "k", "internal").repartition(P, "id")
     # a round with zero moves is NOT a fixpoint by itself: the parity
@@ -90,9 +101,10 @@ def louvain_local_move(
             .agg(F.sum("w").alias("wi"))
         )
         cur = state.select("id", F.col("c").alias("cur"), "k", "internal")
+        sig_nc = sig.withColumnRenamed("c", "nc")
         cand = (
             wic.join(cur.hint("SHUFFLE_HASH"), "id")
-            .join(F.broadcast(sig.withColumnRenamed("c", "nc")), "nc")
+            .join(F.broadcast(sig_nc) if bcast_sig else sig_nc.hint("SHUFFLE_HASH"), "nc")
             .select(
                 "id",
                 "nc",
@@ -178,7 +190,8 @@ def louvain_phase1(
     )
     m2 = nodes.agg(F.sum("k")).collect()[0][0] or 1.0
     res = louvain_local_move(edges, nodes, m2, max_round=max_round,
-                             engine=engine, num_partitions=P)
+                             engine=engine, num_partitions=P,
+                             n_nodes=nodes.count())
     res.state = res.state.select("id", F.col("c").alias("community"))
     edges.unpersist()
     return res
@@ -190,11 +203,15 @@ def louvain(
     max_levels: int = 5,
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
+    force_all_levels: bool = False,
 ) -> SuperstepResult:
     """Full multi-level Louvain. Returns state (id: long, community:
     long) mapping every ORIGINAL vertex to its final community (the
     min original vertex id serves as the stable community name at
-    every level, so labels are deterministic)."""
+    every level, so labels are deterministic). ``force_all_levels``
+    disables the no-shrink early exit so exactly ``max_levels`` levels
+    run — used by the oracle gate, whose SQL twin unrolls a fixed
+    level count."""
     spark = graph.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -210,13 +227,14 @@ def louvain(
 
     mapping = None  # original id -> current supernode id
     total_rounds = 0
+    n_nodes = nodes.count()
     for level in range(max_levels):
         res = louvain_local_move(edges, nodes, m2, max_round=max_round,
-                                 engine=engine, num_partitions=P)
+                                 engine=engine, num_partitions=P,
+                                 n_nodes=n_nodes)
         total_rounds += res.rounds
         labels = res.state.select("id", "c").persist()
         n_comms = labels.select("c").distinct().count()
-        n_nodes = nodes.count()
         # fold this level's assignment into the original-id mapping
         if mapping is None:
             mapping = labels.select("id", F.col("c").alias("community"))
@@ -229,7 +247,7 @@ def louvain(
                 .select("id", F.col("newc").alias("community"))
             )
         mapping = mapping.localCheckpoint(eager=True)
-        if n_comms >= n_nodes or level == max_levels - 1:
+        if (not force_all_levels and n_comms >= n_nodes) or level == max_levels - 1:
             labels.unpersist()
             break
         # ---- coarsen (phase 2) -------------------------------------
@@ -267,7 +285,7 @@ def louvain(
         edges.unpersist()
         edges = new_edges
         nodes_new = new_nodes.persist()
-        nodes_new.count()
+        n_nodes = nodes_new.count()
         nodes.unpersist()
         nodes = nodes_new
         labels.unpersist()
