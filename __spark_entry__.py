@@ -53,6 +53,12 @@ BETW_LAYERS = 12
 LOUVAIN_ROUNDS = 4
 LOUVAIN_FULL_ROUNDS = 3
 LOUVAIN_FULL_LEVELS = 2
+PPR_ITERS = 15
+PPR_ALPHA = 0.5
+AR_ITERS = 15
+AR_DAMPING = 0.85
+AVGLEN_W_SOURCES = 16
+AVGLEN_W_LAYERS = 28
 BOUNDARY_SOURCES = 100
 ATTR_CATS = 7
 KSHELL_LAYERS = 40
@@ -311,6 +317,82 @@ def _q_louvain_full(spark, sf_dir):
     return res.state.select("id", "community")
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (flash/connectivity/scc.h:28-84,
+    multi-pivot fwd/bwd colouring; label = min SCC member id) on the
+    parity-directed co-occurrence graph: edge (src,dst) keeps its
+    src<dst orientation when (src+dst) is even, flips otherwise —
+    a deterministic direction rule both engines express identically,
+    giving real directed cycles (the raw src<dst set is a DAG)."""
+    from linkgraph.algos.scc import scc
+
+    e = part_edges(spark, sf_dir).select("src", "dst")
+    even = (F.col("src") + F.col("dst")) % 2 == 0
+    de = e.select(
+        F.when(even, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(even, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+    res = scc(Graph.from_edges(de, directed=True))
+    return res.state.select("id", "scc")
+
+
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank from the min vertex id, undirected edge
+    set, alpha = 0.5 fixed iterations (flash/ranking/ppr.h:41-73)."""
+    from linkgraph.algos.pagerank import ppr
+
+    g = part_graph(spark, sf_dir)
+    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
+    res = ppr(g, source=int(source), alpha=PPR_ALPHA, max_iter=PPR_ITERS)
+    return res.state.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_articlerank(spark, sf_dir):
+    """ArticleRank on the directed co-occurrence edge set, damping
+    0.85 fixed iterations (flash/ranking/articlerank.h:40-72)."""
+    from linkgraph.algos.pagerank import articlerank
+
+    g = part_graph(spark, sf_dir)
+    res = articlerank(g, max_iter=AR_ITERS, damping=AR_DAMPING)
+    return res.state.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_bfs_tree(spark, sf_dir):
+    """BFS tree (id, parent, level) from the min vertex id, undirected
+    view — bfs_generic.h:125-155 predecessors output, deterministic
+    min-parent tie-break."""
+    from linkgraph.algos.traversal import bfs_tree
+
+    g = part_graph(spark, sf_dir)
+    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
+    res = bfs_tree(g, source=int(source), directed=False)
+    _assert_unroll(res, BFS_LAYERS, "bfs_tree")
+    # root-as-own-parent (dfs convention): NULL would hash as NaN and
+    # NaN != NaN breaks the driver's order-insensitive compare
+    return res.state.select(
+        "id", F.coalesce("parent", F.col("id")).alias("parent"), "level"
+    )
+
+
+def _q_avg_length_weighted(spark, sf_dir):
+    """WEIGHTED sampled average shortest-path length (K min-id
+    sources) — the weighted mode of apps/sssp/sssp_average_length.h,
+    via the multi-source pair-frame relaxation."""
+    from linkgraph.algos.paths import multi_source_sssp
+
+    edges = part_edges(spark, sf_dir)
+    g = Graph.from_edges(edges, directed=False, weight_col="weight")
+    res = multi_source_sssp(
+        g, sources=_min_sources(g, AVGLEN_W_SOURCES),
+        weight_col="weight", directed=False,
+    )
+    _assert_unroll(res, AVGLEN_W_LAYERS, "sssp_avg_length_w")
+    return (
+        res.state.where(F.col("dist") > 0)
+        .agg(F.round(F.sum("dist") / F.count("*"), 8).alias("avg_length"))
+    )
+
+
 def _q_clustering_directed(spark, sf_dir):
     """Fagiolo directed clustering coefficient on the directed
     co-occurrence edge set (apps/clustering/clustering.h:258-267)."""
@@ -453,14 +535,47 @@ def _q_all_simple_paths(spark, sf_dir):
 
 
 def _q_dfs(spark, sf_dir):
-    """DFS preorder from the min vertex id (apps/dfs/dfs.h) —
-    rows-only gate (DFS order has no tractable SQL twin); exact
-    semantics are pytest-checked against a sequential python DFS."""
+    """DFS preorder from the min vertex id (apps/dfs/dfs.h) — the
+    ORDER itself has no tractable SQL twin (pytest-checked against a
+    sequential python DFS), but its SQL-decidable INVARIANTS are
+    oracle-gated here: the ranks of the reached set form a 0..R-1
+    permutation, the root has rank 0 and is its own parent, every
+    non-root (parent, id) is a graph edge, and every parent precedes
+    its child in preorder. The oracle computes the same summary from
+    reachability alone (all violation counts provably 0)."""
     from linkgraph.algos.pathenum import dfs
 
     g = part_graph(spark, sf_dir)
-    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
-    return dfs(g, int(source), directed=False).select("id", "rank", "parent")
+    source = int(g.deduced_vertices().agg(F.min("id")).collect()[0][0])
+    t = dfs(g, source, directed=False).persist()
+    und = (
+        g.symmetrized_edges().select("src", "dst")
+        .where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    )
+    nonroot = t.where(F.col("rank") > 0)
+    bad_edges = nonroot.join(
+        und, (nonroot["parent"] == und["src"]) & (nonroot["id"] == und["dst"]),
+        "left_anti",
+    ).count()
+    pr = t.select(F.col("id").alias("parent"), F.col("rank").alias("prank"))
+    bad_order = (
+        nonroot.join(pr, "parent").where(F.col("prank") >= F.col("rank")).count()
+    )
+    summary = t.agg(
+        F.count("*").alias("reached"),
+        F.min("rank").alias("rank_min"),
+        F.max("rank").alias("rank_max"),
+        F.countDistinct("rank").alias("n_ranks"),
+        F.sum(F.when((F.col("rank") == 0)
+                     & (F.col("id") == source)
+                     & (F.col("parent") == source), 1).otherwise(0)).alias("root_ok"),
+    ).select(
+        "reached", "rank_min", "rank_max", "n_ranks", "root_ok",
+        F.lit(int(bad_edges)).cast("long").alias("bad_edges"),
+        F.lit(int(bad_order)).cast("long").alias("bad_order"),
+    )
+    t.unpersist()
+    return summary
 
 
 def _q_blob_stats(spark, sf_dir):
@@ -498,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "louvain": _q_louvain,
         "louvain_full": _q_louvain_full,
+        "scc": _q_scc,
+        "ppr": _q_ppr,
+        "articlerank": _q_articlerank,
+        "bfs_tree": _q_bfs_tree,
+        "sssp_avg_length_w": _q_avg_length_weighted,
         "kshell": _q_kshell,
         "clustering_directed": _q_clustering_directed,
         "degree_assortativity": _q_degree_assortativity,
@@ -1138,6 +1258,173 @@ def _louvain_full_sql(
     return "\n".join(parts)
 
 
+def _scc_sql() -> str:
+    """Mutual-reachability fixpoint: scc(v) = min u with u⇝v and v⇝u
+    over the parity-directed edge set (the recursive CTE is the SQL
+    twin of the fwd/bwd colouring — same min-label semantics)."""
+    return f"""WITH RECURSIVE {PART_EDGES_SQL}
+, de AS MATERIALIZED (
+  SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS src,
+         CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS dst
+  FROM edges)
+, reach AS (
+  SELECT id AS a, id AS b FROM verts
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN de e ON e.src = r.b)
+SELECT f.b AS id, min(f.a) AS scc
+FROM reach f JOIN reach g ON g.a = f.b AND g.b = f.a
+GROUP BY f.b"""
+
+
+def _ppr_sql(iters: int = PPR_ITERS, alpha: float = PPR_ALPHA) -> str:
+    """Unrolled personalized-PageRank recurrence (ppr.h:41-73):
+    undirected degree, restart mass (1-alpha) at the source only."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", srcv AS (SELECT min(id) AS s FROM verts)",
+        ", degu AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)",
+        ", p0 AS MATERIALIZED (SELECT v.id, coalesce(d.deg, 0) AS deg,"
+        " CASE WHEN v.id = (SELECT s FROM srcv) THEN 1.0 ELSE 0.0 END AS rank"
+        " FROM verts v LEFT JOIN degu d ON d.id = v.id)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+  SELECT d.id, d.deg,
+    CASE WHEN d.id = (SELECT s FROM srcv) THEN {1.0 - alpha} ELSE 0.0 END
+    + {alpha} * coalesce(m.msg, 0) AS rank
+  FROM p{p} d LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / r.deg) AS msg
+    FROM sym e JOIN p{p} r ON r.id = e.src AND r.deg > 0
+    GROUP BY e.dst) m ON m.id = d.id)"""
+        )
+    parts.append(f"SELECT id, round(rank, 8) AS rank FROM p{iters}")
+    return "\n".join(parts)
+
+
+def _articlerank_sql(iters: int = AR_ITERS, damping: float = AR_DAMPING) -> str:
+    """Unrolled ArticleRank recurrence (articlerank.h:40-72): directed
+    out-degree, +mean-out-degree damping in the denominator."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", outd AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)",
+        ", deg AS MATERIALIZED (SELECT v.id, coalesce(o.deg, 0) AS deg FROM verts v"
+        " LEFT JOIN outd o ON o.id = v.id)",
+        ", avgd AS (SELECT CAST(sum(deg) AS DOUBLE) / count(*) AS a FROM deg)",
+        ", a0 AS MATERIALIZED (SELECT id, deg, 0.0 AS rank FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""", a{k} AS MATERIALIZED (
+  SELECT d.id, d.deg, {1.0 - damping} + coalesce(m.msg, 0) AS rank
+  FROM a{p} d LEFT JOIN (
+    SELECT e.dst AS id,
+           sum({damping} * r.rank / (r.deg + (SELECT a FROM avgd))) AS msg
+    FROM edges e JOIN a{p} r ON r.id = e.src
+    GROUP BY e.dst) m ON m.id = d.id)"""
+        )
+    parts.append(f"SELECT id, round(rank, 8) AS rank FROM a{iters}")
+    return "\n".join(parts)
+
+
+def _bfs_tree_sql(layers: int = BFS_LAYERS) -> str:
+    """BFS levels (unrolled, as _bfs_sql) then the deterministic tree:
+    parent(v) = min u with level(u)+1 = level(v) and {u,v} an edge."""
+    big = 10**15
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        f", d0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(id) FROM verts)"
+        f" THEN 0 ELSE {big} END AS d FROM verts)",
+    ]
+    for k in range(1, layers + 1):
+        p = k - 1
+        parts.append(
+            f""", d{k} AS MATERIALIZED (
+  SELECT v.id, least(v.d, coalesce(m.cand, {big})) AS d
+  FROM d{p} v LEFT JOIN (
+    SELECT s.dst AS id, min(r.d + 1) AS cand
+    FROM sym s JOIN d{p} r ON r.id = s.src WHERE r.d < {big}
+    GROUP BY s.dst) m ON m.id = v.id)"""
+        )
+    parts.append(
+        f""", lv AS MATERIALIZED (
+  SELECT id, CAST(d AS BIGINT) AS level FROM d{layers} WHERE d < {big})
+, par AS (
+  SELECT s.dst AS id, min(s.src) AS parent
+  FROM sym s JOIN lv a ON a.id = s.src JOIN lv b ON b.id = s.dst
+  WHERE a.level + 1 = b.level
+  GROUP BY s.dst)
+SELECT l.id, coalesce(p.parent, l.id) AS parent, l.level
+FROM lv l LEFT JOIN par p ON p.id = l.id"""
+    )
+    return "\n".join(parts)
+
+
+def _avg_length_w_sql(k: int = AVGLEN_W_SOURCES, layers: int = AVGLEN_W_LAYERS) -> str:
+    """Unrolled weighted multi-source relaxation (pair frame), then
+    the reached-pairs average — the weighted sssp_average_length."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        ", symw AS MATERIALIZED (SELECT src, dst, weight FROM edges"
+        " UNION SELECT dst AS src, src AS dst, weight FROM edges)",
+        f", srcs AS MATERIALIZED (SELECT id AS s FROM verts ORDER BY id LIMIT {k})",
+        ", w0 AS MATERIALIZED (SELECT s, s AS id, 0.0 AS d FROM srcs)",
+    ]
+    for i in range(1, layers + 1):
+        p = i - 1
+        parts.append(
+            f""", w{i} AS MATERIALIZED (
+  SELECT s, id, min(d) AS d FROM (
+    SELECT s, id, d FROM w{p}
+    UNION ALL
+    SELECT r.s, e.dst AS id, r.d + e.weight AS d
+    FROM symw e JOIN w{p} r ON r.id = e.src
+  ) GROUP BY s, id)"""
+        )
+    parts.append(
+        f"SELECT round(sum(d) / count(*), 8) AS avg_length"
+        f" FROM w{layers} WHERE d > 0"
+    )
+    return "\n".join(parts)
+
+
+def _dfs_invariants_sql(layers: int = BFS_LAYERS) -> str:
+    """The oracle's half of the DFS invariant gate: from reachability
+    alone (undirected BFS from the min id), the preorder summary is
+    fully determined — R reached vertices, ranks a 0..R-1 permutation,
+    root ok, zero violations."""
+    big = 10**15
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        f", d0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(id) FROM verts)"
+        f" THEN 0 ELSE {big} END AS d FROM verts)",
+    ]
+    for k in range(1, layers + 1):
+        p = k - 1
+        parts.append(
+            f""", d{k} AS MATERIALIZED (
+  SELECT v.id, least(v.d, coalesce(m.cand, {big})) AS d
+  FROM d{p} v LEFT JOIN (
+    SELECT s.dst AS id, min(r.d + 1) AS cand
+    FROM sym s JOIN d{p} r ON r.id = s.src WHERE r.d < {big}
+    GROUP BY s.dst) m ON m.id = v.id)"""
+        )
+    parts.append(
+        f""", rr AS (SELECT CAST(count(*) AS BIGINT) AS r FROM d{layers} WHERE d < {big})
+SELECT r AS reached,
+       CAST(0 AS BIGINT) AS rank_min,
+       r - 1 AS rank_max,
+       r AS n_ranks,
+       CAST(1 AS BIGINT) AS root_ok,
+       CAST(0 AS BIGINT) AS bad_edges,
+       CAST(0 AS BIGINT) AS bad_order
+FROM rr"""
+    )
+    return "\n".join(parts)
+
+
 _TRI_SQL_BODY = """
 , degt AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
 , ori AS MATERIALIZED (
@@ -1255,6 +1542,12 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["betweenness"] = _betweenness_sql()
     sql["louvain"] = _louvain_sql()
     sql["louvain_full"] = _louvain_full_sql()
+    sql["scc"] = _scc_sql()
+    sql["ppr"] = _ppr_sql()
+    sql["articlerank"] = _articlerank_sql()
+    sql["bfs_tree"] = _bfs_tree_sql()
+    sql["sssp_avg_length_w"] = _avg_length_w_sql()
+    sql["dfs"] = _dfs_invariants_sql()
     sql["kshell"] = _kshell_sql()
     sql["clustering_directed"] = _clustering_directed_sql()
     sql["degree_assortativity"] = (

@@ -101,6 +101,21 @@ def main() -> None:
     queries["betweenness_16src"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    from linkgraph.algos.scc import scc
+    from pyspark.sql import functions as F
+
+    e = g.edges.select("src", "dst")
+    even = (F.col("src") + F.col("dst")) % 2 == 0
+    de = e.select(
+        F.when(even, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(even, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+    sc = scc(Graph.from_edges(de, directed=True))
+    sc.state.count()
+    queries["scc"] = round(time.time() - t0, 3)
+    extra["scc_rounds"] = sc.rounds
+
+    t0 = time.time()
     pl.lsh_candidate_pairs(spark, sf_dir).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
 

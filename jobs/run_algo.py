@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("algo", choices=[
         "pagerank", "wcc", "cdlp", "triangles", "lcc", "bfs", "sssp", "hits", "kcore",
         "kshell", "louvain", "closeness", "betweenness", "voterank", "sssp_path",
-        "eigenvector", "katz",
+        "eigenvector", "katz", "scc", "ppr", "articlerank", "bfs_tree", "custom",
     ])
     ap.add_argument("--edges", required=True, help="parquet with (src,dst[,props])")
     ap.add_argument("--vertices", default=None, help="optional parquet with (id,...)")
@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--alpha", type=float, default=0.85)
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--mode", choices=["join", "csr"], default="join")
+    ap.add_argument("--app", default=None,
+                    help="custom PIE/Pregel-style app: a .py file (or "
+                    "importable module) defining make(graph, spark, args)"
+                    " -> (init_state_df, step_fn); step_fn follows the "
+                    "SuperstepEngine contract (see README §custom apps)")
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -146,6 +151,40 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algos.centrality import katz_centrality
         res = katz_centrality(g, alpha=args.alpha, max_iter=args.max_iter,
                               tol=args.tol, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "scc":
+        from linkgraph.algos.scc import scc
+        res = scc(g, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "ppr":
+        from linkgraph.algos.pagerank import ppr
+        res = ppr(g, source=args.source, alpha=args.alpha,
+                  max_iter=args.max_iter, engine=eng,
+                  num_partitions=args.partitions)
+    elif args.algo == "articlerank":
+        from linkgraph.algos.pagerank import articlerank
+        res = articlerank(g, max_iter=args.max_iter, damping=args.alpha,
+                          engine=eng, num_partitions=args.partitions)
+    elif args.algo == "bfs_tree":
+        from linkgraph.algos.traversal import bfs_tree
+        res = bfs_tree(g, source=args.source, engine=eng,
+                       num_partitions=args.partitions)
+    elif args.algo == "custom":
+        # the §2.8 user-defined-app surface: the step_fn contract IS
+        # the PIE shape (PEval = round 0 on the init state, IncEval =
+        # every later round, the finalize aggregate = the Sum
+        # collective + vote-to-halt). See examples/reach_within.py.
+        if not args.app:
+            ap.error("--algo custom requires --app <file.py|module>")
+        import importlib
+        import importlib.util
+        if args.app.endswith(".py"):
+            spec = importlib.util.spec_from_file_location("user_app", args.app)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        else:
+            mod = importlib.import_module(args.app)
+        init_state, step_fn = mod.make(g, spark, args)
+        res = eng.run(init_state, step_fn, max_rounds=args.max_iter,
+                      resume=args.resume)
 
     if res is not None:
         out = res.state

@@ -155,3 +155,141 @@ def pagerank(
     result.state = result.state.select("id", "rank")
     edges.unpersist()
     return result
+
+
+def ppr(
+    graph: Graph,
+    source: int,
+    alpha: float = 0.5,
+    max_iter: int = 20,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+    directed: bool = False,
+    broadcast_threshold: int = 500_000,
+) -> SuperstepResult:
+    """Personalized PageRank — flash semantics (transcribed from
+    analytical_engine/apps/flash/ranking/ppr.h:41-73):
+
+      init  rank[v] = [v == source]
+      round rank'[v] = (1-alpha)·[v == source]
+                       + alpha · Σ_{u~v} rank[u]/deg[u]
+
+    over the UNDIRECTED edge set (ppr.h propagates along EU) with
+    alpha = 0.5 (the reference hard-codes both the 0.5 restart and the
+    0.5 damping; they are (1-alpha)/alpha here). Fixed iteration
+    count, no dangling redistribution (ppr.h drops dangling mass —
+    moot on a deduced-vertex graph where every vertex has degree ≥ 1
+    in the undirected view). Returns state (id: long, rank: double).
+    """
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = (
+        graph.edges.select("src", "dst") if directed
+        else graph.to_undirected(dedup=True).edges.select("src", "dst")
+    ).repartition(P, "src").persist()
+    n_edges = edges.count()
+
+    verts = graph.deduced_vertices()
+    deg = (
+        verts.join(
+            edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
+            "id", "left",
+        ).select("id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+    )
+    n = deg.count()
+
+    restart = F.when(F.col("id") == source, F.lit(1.0 - alpha)).otherwise(0.0)
+    init = deg.select(
+        "id", "deg",
+        F.when(F.col("id") == source, F.lit(1.0)).otherwise(0.0).alias("rank"),
+    ).repartition(P, "id")
+
+    def step(state: DataFrame, round_: int):
+        msgs = state.where(F.col("deg") > 0).select(
+            F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
+        )
+        contribs = (
+            scatter_join(edges, msgs, "src", n, broadcast_threshold)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("msg"))
+        )
+        new_state = state_join(state, contribs).select(
+            "id", "deg",
+            (restart + F.lit(alpha) * F.coalesce("msg", F.lit(0.0))).alias("rank"),
+        )
+
+        def finalize(df: DataFrame) -> dict:
+            return {"halt": round_ + 1 >= max_iter, "edges_processed": n_edges}
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("id", "rank")
+    edges.unpersist()
+    return result
+
+
+def articlerank(
+    graph: Graph,
+    max_iter: int = 20,
+    damping: float = 0.85,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = 500_000,
+) -> SuperstepResult:
+    """ArticleRank — flash semantics (transcribed from
+    analytical_engine/apps/flash/ranking/articlerank.h:40-72):
+
+      avg   = mean out-degree over ALL vertices
+      init  val[v] = 0
+      round val'[v] = (1 - damping)
+                      + Σ_{u→v} damping · val[u] / (deg[u] + avg)
+
+    along DIRECTED out-edges (ED), fixed iteration count; the +avg in
+    the denominator is ArticleRank's damping of low-degree citers.
+    Returns state (id: long, rank: double)."""
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = graph.edges.select("src", "dst").repartition(P, "src").persist()
+    n_edges = edges.count()
+
+    verts = graph.deduced_vertices()
+    deg = (
+        verts.join(
+            edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
+            "id", "left",
+        ).select("id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+    )
+    n = deg.count()
+    avg = (deg.agg(F.sum("deg")).collect()[0][0] or 0) / float(n) if n else 0.0
+
+    init = deg.select("id", "deg", F.lit(0.0).alias("rank")).repartition(P, "id")
+
+    def step(state: DataFrame, round_: int):
+        msgs = state.select(
+            F.col("id").alias("src"),
+            (F.lit(damping) * F.col("rank") / (F.col("deg") + F.lit(avg))).alias("w"),
+        )
+        contribs = (
+            scatter_join(edges, msgs, "src", n, broadcast_threshold)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("msg"))
+        )
+        new_state = state_join(state, contribs).select(
+            "id", "deg",
+            (F.lit(1.0 - damping) + F.coalesce("msg", F.lit(0.0))).alias("rank"),
+        )
+
+        def finalize(df: DataFrame) -> dict:
+            return {"halt": round_ + 1 >= max_iter, "edges_processed": n_edges}
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("id", "rank")
+    edges.unpersist()
+    return result

@@ -129,6 +129,89 @@ def multi_source_bfs(
     return result
 
 
+def multi_source_sssp(
+    graph: Graph,
+    sources=None,
+    weight_col: str | None = None,
+    directed: bool | None = None,
+    engine: SuperstepEngine | None = None,
+    max_iter: int = 10_000,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Weighted SSSP from every source simultaneously (the weighted
+    generalization of multi_source_bfs — the per-source Dijkstra loop
+    of apps/sssp/sssp_average_length.h:35-168 re-expressed as ONE
+    Bellman-Ford-style pair-frame relaxation).
+
+    Returns state (s: long, id: long, dist: double) — one row per
+    reached (source, vertex) pair. Unlike the BFS variant, reached
+    pairs CAN improve (a longer-hop lighter path), so the state is a
+    sparse min-relaxation frame: per round the changed pairs scatter
+    through the edge frame, candidate distances combine by min per
+    (s, dst), and the full-outer merge keeps the smaller of old/new.
+    Same scale contract as multi_source_bfs: callers bound |sources|.
+    """
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    use_directed = graph.directed if directed is None else directed
+
+    w = weight_col or graph.weight_col
+    cols = ["src", "dst"] + ([w] if w else [])
+    base = graph.edges.select(*cols)
+    if not use_directed:
+        base = Graph.from_edges(base, directed=True).symmetrized_edges()
+    edges = (
+        base.select("src", "dst",
+                    (F.col(w) if w else F.lit(1.0)).cast("double").alias("w"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition(P, "src")
+        .persist()
+    )
+    n_edges = edges.count()
+
+    init = (
+        _sources_df(graph, sources)
+        .select("s", F.col("s").alias("id"), F.lit(0.0).alias("dist"),
+                F.lit(True).alias("fr"))
+        .repartition(P, "id")
+    )
+
+    def step(state: DataFrame, round_: int):
+        frontier = state.where(F.col("fr")).select(
+            "s", F.col("id").alias("src"), F.col("dist").alias("sd"))
+        relax = (
+            edges.join(frontier.hint("SHUFFLE_HASH"), "src")
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg(F.min(F.col("sd") + F.col("w")).alias("cand"))
+        )
+        new_state = (
+            state.select("s", "id", "dist")
+            .join(relax.hint("SHUFFLE_HASH"), ["s", "id"], "full")
+            .select(
+                "s", "id",
+                F.least(F.coalesce("dist", F.col("cand")),
+                        F.coalesce("cand", F.col("dist"))).alias("dist"),
+                (F.col("cand").isNotNull()
+                 & (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))))
+                .alias("fr"),
+            )
+        )
+
+        def finalize(df: DataFrame) -> dict:
+            fr = df.agg(F.sum(F.col("fr").cast("long")).alias("c")).collect()[0]["c"] or 0
+            return {"halt": fr == 0, "frontier": int(fr), "edges_processed": n_edges}
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("s", "id", "dist")
+    edges.unpersist()
+    return result
+
+
 def all_pairs_shortest_path_length(
     graph: Graph,
     sources=None,
@@ -270,6 +353,7 @@ def sssp_average_length(
     graph: Graph,
     sources=None,
     weighted: bool = False,
+    weight_col: str | None = None,
     directed: bool | None = None,
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
@@ -281,9 +365,12 @@ def sssp_average_length(
     conventional estimate). ``sources=None`` = all-pairs (expensive,
     like the reference); a source list gives the sampled estimator."""
     if weighted:
-        raise NotImplementedError("weighted average length: run sssp per source")
-    res = multi_source_bfs(graph, sources=sources, directed=directed,
-                           engine=engine, num_partitions=num_partitions)
+        res = multi_source_sssp(graph, sources=sources, weight_col=weight_col,
+                                directed=directed, engine=engine,
+                                num_partitions=num_partitions)
+    else:
+        res = multi_source_bfs(graph, sources=sources, directed=directed,
+                               engine=engine, num_partitions=num_partitions)
     row = (
         res.state.where(F.col("dist") > 0)
         .agg(F.sum("dist").alias("tot"), F.count("*").alias("pairs"))
@@ -360,44 +447,48 @@ def betweenness_centrality(
     max_depth = depth_sigma.agg(F.max("depth")).collect()[0][0] or 0
 
     # ---- backward: dependency accumulation, depth D-1 .. 0 ----------
-    # state: (s, id, depth, sigma, delta); rounds walk depths downward
-    binit = depth_sigma.select("s", "id", "depth", "sigma",
-                               F.lit(0.0).alias("delta")).repartition(P, "id")
-
-    def bwd_step(state: DataFrame, round_: int):
-        d = max_depth - 1 - round_
-        succ = state.where(F.col("depth") == d + 1).select(
-            "s", F.col("id").alias("dst"), F.col("sigma").alias("sv"),
-            F.col("delta").alias("dv"),
-        )
+    # Per-LAYER loop instead of a full-pair-frame superstep: round d
+    # touches only the depth-d and depth-(d+1) slices (the BFS DAG's
+    # shortest-path edges span exactly one depth), so total backward
+    # I/O is O(S·V + D·E') rather than the O(D·S·V) full-frame rewrite
+    # the r2 verdict flagged. Each finished layer is localCheckpointed
+    # (truncating lineage, like the engine does) and the per-layer
+    # results union at the end — the union is a read of D cached
+    # frames, not a recompute.
+    layers: list[DataFrame] = []
+    deepest = (
+        depth_sigma.where(F.col("depth") == max_depth)
+        .select("s", "id", "sigma", F.lit(0.0).alias("delta"))
+        .repartition(P, "id")
+        .localCheckpoint(eager=True)
+    )
+    layers.append(deepest)
+    prev = deepest  # the depth-(d+1) slice with its deltas
+    bwd_rounds = 0
+    for d in range(max_depth - 1, -1, -1):
+        succ = prev.select("s", F.col("id").alias("dst"),
+                           F.col("sigma").alias("sv"), F.col("delta").alias("dv"))
         contrib = (
             edges.join(succ.hint("SHUFFLE_HASH"), "dst")
             .groupBy("s", F.col("src").alias("id"))
             .agg(F.sum((1.0 + F.col("dv")) / F.col("sv")).alias("c"))
         )
-        new_state = (
-            state.join(contrib.hint("SHUFFLE_HASH"), ["s", "id"], "left")
-            .select(
-                "s", "id", "depth", "sigma",
-                F.when(
-                    (F.col("depth") == d) & F.col("c").isNotNull(),
-                    F.col("sigma") * F.col("c"),
-                ).otherwise(F.col("delta")).alias("delta"),
-            )
+        layer = (
+            depth_sigma.where(F.col("depth") == d)
+            .join(contrib.hint("SHUFFLE_HASH"), ["s", "id"], "left")
+            .select("s", "id", "sigma",
+                    (F.col("sigma") * F.coalesce("c", F.lit(0.0))).alias("delta"))
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
         )
+        layers.append(layer)
+        prev = layer
+        bwd_rounds += 1
 
-        def finalize(df: DataFrame) -> dict:
-            return {"halt": d <= 0, "depth": d, "edges_processed": n_edges}
-
-        return new_state, finalize
-
-    if max_depth > 0:
-        bwd = eng.run(binit, bwd_step, max_rounds=max_depth)
-        deltas = bwd.state
-        rounds = fwd.rounds + bwd.rounds
-    else:
-        deltas = binit
-        rounds = fwd.rounds
+    deltas = layers[0].select("s", "id", "delta")
+    for f in layers[1:]:
+        deltas = deltas.unionByName(f.select("s", "id", "delta"))
+    rounds = fwd.rounds + bwd_rounds
 
     norm = 1.0 if use_directed else 0.5
     if normalized and k > 1:

@@ -74,7 +74,14 @@ def voterank(
             .agg(F.sum("wi").alias("s"))
         )
         if elected_ids:
-            scores = scores.where(~F.col("id").isin(list(elected_ids)))
+            # anti-join vs a tiny broadcast frame, not a growing isin
+            # literal: the plan stays one join regardless of how many
+            # seeds have been elected (isin's expression tree grows
+            # per round and re-analyzes O(seeds) deep)
+            done = spark.createDataFrame(
+                [(int(i),) for i in elected_ids], "id long"
+            )
+            scores = scores.join(F.broadcast(done), "id", "left_anti")
         top = scores.agg(
             F.max(F.struct(F.col("s"), (-F.col("id")).alias("negid"))).alias("b")
         ).collect()[0]["b"]

@@ -137,3 +137,51 @@ def bfs(
     )
     res.state = res.state.select("id", F.col("dist").cast("long").alias("level"))
     return res
+
+
+def bfs_tree(
+    graph: Graph,
+    source: int,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+    directed: bool | None = None,
+) -> SuperstepResult:
+    """BFS tree from ``source`` — the "predecessors"/"edges" output
+    modes of apps/bfs/bfs_generic.h:125-155 (which emit (vertex,
+    predecessor) pairs over the BFS tree). Returns state (id: long,
+    parent: long, level: long) for every REACHED vertex; the source
+    row has parent = NULL. The reference keeps whichever predecessor
+    message arrived first (MPI-nondeterministic); here the MINIMUM
+    level-(L-1) in-neighbor wins, making the tree deterministic and
+    oracle-checkable.
+
+    No extra iteration: the tree is one post-pass join over the
+    converged level frame (edges ⋈ levels on both endpoints, keep
+    level(src)+1 == level(dst), min(src) per dst).
+    """
+    res = bfs(graph, source, engine=engine,
+              num_partitions=num_partitions, directed=directed)
+    spark = graph.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    use_directed = graph.directed if directed is None else directed
+    e = (graph.symmetrized_edges() if (graph.directed and not use_directed)
+         else graph.edges).select("src", "dst").where(F.col("src") != F.col("dst"))
+
+    # res.state is already engine-materialized (localCheckpoint), so
+    # the three reads below rescan a cached frame — no extra persist
+    levels = res.state.where(F.col("level") >= 0)
+    lv_src = levels.select(F.col("id").alias("src"), F.col("level").alias("ls"))
+    lv_dst = levels.select(F.col("id").alias("dst"), F.col("level").alias("ld"))
+    parents = (
+        e.join(lv_src.hint("SHUFFLE_HASH"), "src")
+        .join(lv_dst.hint("SHUFFLE_HASH"), "dst")
+        .where(F.col("ls") + 1 == F.col("ld"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("parent"))
+    )
+    tree = (
+        levels.join(parents.hint("SHUFFLE_HASH"), "id", "left")
+        .select("id", "parent", "level")
+    )
+    res.state = tree
+    return res
