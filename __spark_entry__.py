@@ -336,6 +336,50 @@ def _q_scc(spark, sf_dir):
     return res.state.select("id", "scc")
 
 
+def _thinned_graph(spark, sf_dir):
+    """Deterministic hash-thinned co-occurrence graph for the
+    biconnectivity gates: the full graph is one dense biconnected
+    core (0 bridges / 0 cut vertices — a trivial gate), so both
+    engines keep edge {src,dst} iff (src*1000003 + dst) % 24 == 0,
+    which at gate scales leaves bridges, cut vertices AND nontrivial
+    blocks (e.g. sf0.001: 363 edges, 14 bridges, 29 blocks)."""
+    e = part_edges(spark, sf_dir).select("src", "dst")
+    th = e.where((F.col("src") * 1000003 + F.col("dst")) % 24 == 0)
+    return Graph.from_edges(th, directed=False)
+
+
+def _q_bridges(spark, sf_dir):
+    """Bridge edges (flash/connectivity/bridge.h:45-149) on the
+    thinned undirected co-occurrence graph. The oracle derives
+    bridges from first principles: deterministic BFS forest + for
+    each tree edge (x, parent x), count non-tree edges with exactly
+    one endpoint in subtree(x) via ancestor-list symmetric
+    difference — zero means removing the edge disconnects
+    subtree(x)."""
+    from linkgraph.algos.biconnectivity import biconnectivity
+
+    return biconnectivity(_thinned_graph(spark, sf_dir)).bridges
+
+
+def _q_articulation(spark, sf_dir):
+    """Cut vertices (flash/connectivity/cut-point.h:45-153): v is cut
+    iff a tree child's block group differs from v's own (root: its
+    children span >= 2 groups)."""
+    from linkgraph.algos.biconnectivity import biconnectivity
+
+    return biconnectivity(_thinned_graph(spark, sf_dir)).cut_points
+
+
+def _q_bcc(spark, sf_dir):
+    """Biconnected-component vertex groups (flash/connectivity/
+    bcc.h:44-141): group(v) = block containing tree edge (v, parent),
+    canonicalized to the min member id (the reference's union-find
+    root ids are arbitrary; the partition is the semantics)."""
+    from linkgraph.algos.biconnectivity import biconnectivity
+
+    return biconnectivity(_thinned_graph(spark, sf_dir)).bcc
+
+
 def _q_ppr(spark, sf_dir):
     """Personalized PageRank from the min vertex id, undirected edge
     set, alpha = 0.5 fixed iterations (flash/ranking/ppr.h:41-73)."""
@@ -614,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "louvain_full": _q_louvain_full,
         "scc": _q_scc,
+        "bridges": _q_bridges,
+        "articulation_points": _q_articulation,
+        "bcc": _q_bcc,
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
         "bfs_tree": _q_bfs_tree,
@@ -1276,6 +1323,107 @@ FROM reach f JOIN reach g ON g.a = f.b AND g.b = f.a
 GROUP BY f.b"""
 
 
+def _biconn_sql_body(layers: int = BFS_LAYERS) -> str:
+    """Shared oracle body for bridges / articulation_points / bcc —
+    derived from FIRST PRINCIPLES rather than re-walking the engine's
+    construction: deterministic BFS forest (wcc-min roots, min-parent),
+    ancestor-or-self closure, then per non-tree edge {a,b} the
+    symmetric difference of the endpoints' ancestor lists = exactly
+    the vertices x whose subtree contains ONE endpoint (i.e. whose
+    parent edge lies on the a..b tree path); the intersection's max
+    depth is the LCA. crossing(x)=0 → bridge; a crossing edge whose
+    LCA is strictly above parent(x) keeps (x, parent x) inside its
+    block (hs), and min-label components of non-tree ∪ such tree
+    edges are the biconnected groups."""
+    return f"""WITH RECURSIVE {PART_EDGES_SQL}
+, bedges AS MATERIALIZED (
+    SELECT src, dst FROM edges WHERE (src * 1000003 + dst) % 24 = 0)
+, bverts AS MATERIALIZED (
+    SELECT DISTINCT id FROM (SELECT src AS id FROM bedges UNION ALL SELECT dst FROM bedges))
+, bsym AS MATERIALIZED (SELECT src, dst FROM bedges UNION SELECT dst, src FROM bedges)
+, lab(id, comp) AS (
+    SELECT id, id FROM bverts
+    UNION
+    SELECT s.dst, l.comp FROM lab l JOIN bsym s ON s.src = l.id WHERE l.comp < s.dst)
+, roots AS MATERIALIZED (SELECT id FROM (SELECT id, min(comp) AS c FROM lab GROUP BY id) WHERE id = c)
+, reach(id, d) AS (
+    SELECT id, 0 FROM roots
+    UNION
+    SELECT s.dst, r.d + 1 FROM reach r JOIN bsym s ON s.src = r.id WHERE r.d < {layers})
+, lv AS MATERIALIZED (SELECT id, min(d) AS d FROM reach GROUP BY id)
+, par AS MATERIALIZED (
+    SELECT b.dst AS id, min(b.src) AS parent
+    FROM bsym b JOIN lv x ON x.id = b.src JOIN lv y ON y.id = b.dst
+    WHERE x.d + 1 = y.d GROUP BY b.dst)
+, tree AS MATERIALIZED (SELECT l.id, p.parent, l.d FROM lv l LEFT JOIN par p ON p.id = l.id)
+, nt AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM (
+      SELECT src, dst FROM bedges
+      EXCEPT
+      SELECT least(id, parent), greatest(id, parent) FROM tree WHERE parent IS NOT NULL))
+, ancp(v, x, dx) AS (
+    SELECT id, id, d FROM tree
+    UNION ALL
+    SELECT a.v, t.parent, t.d - 1 FROM ancp a JOIN tree t ON t.id = a.x
+    WHERE t.parent IS NOT NULL)
+, sdall AS MATERIALIZED (
+    SELECT a, b, x, dx, count(*) AS cnt FROM (
+      SELECT n.a, n.b, p.x, p.dx FROM nt n JOIN ancp p ON p.v = n.a
+      UNION ALL
+      SELECT n.a, n.b, p.x, p.dx FROM nt n JOIN ancp p ON p.v = n.b
+    ) GROUP BY a, b, x, dx)
+, sd AS MATERIALIZED (SELECT a, b, x, dx FROM sdall WHERE cnt = 1)
+, lca AS MATERIALIZED (SELECT a, b, max(dx) AS ld FROM sdall WHERE cnt = 2 GROUP BY a, b)
+, crossing AS MATERIALIZED (SELECT x AS id, count(*) AS cr FROM sd GROUP BY x)
+, deepc AS MATERIALIZED (
+    SELECT s.x AS id, count(*) AS dp
+    FROM sd s JOIN lca l ON l.a = s.a AND l.b = s.b
+    WHERE l.ld < s.dx - 1 GROUP BY s.x)
+, hs AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM nt
+    UNION
+    SELECT t.id, t.parent FROM tree t JOIN deepc dc ON dc.id = t.id
+    WHERE t.parent IS NOT NULL AND dc.dp > 0)
+, hsym AS MATERIALIZED (SELECT src, dst FROM hs UNION SELECT dst, src FROM hs)
+, hlab(id, g) AS (
+    SELECT id, id FROM bverts
+    UNION
+    SELECT s.dst, l.g FROM hlab l JOIN hsym s ON s.src = l.id WHERE l.g < s.dst)
+, grp AS MATERIALIZED (SELECT id, min(g) AS g FROM hlab GROUP BY id)"""
+
+
+def _bridges_sql() -> str:
+    return (
+        _biconn_sql_body()
+        + """
+SELECT least(t.id, t.parent) AS src, greatest(t.id, t.parent) AS dst
+FROM tree t LEFT JOIN crossing c ON c.id = t.id
+WHERE t.parent IS NOT NULL AND coalesce(c.cr, 0) = 0"""
+    )
+
+
+def _articulation_sql() -> str:
+    return (
+        _biconn_sql_body()
+        + """
+, childg AS (
+    SELECT t.parent AS pid, g.g AS cg FROM tree t JOIN grp g ON g.id = t.id
+    WHERE t.parent IS NOT NULL)
+, cagg AS (
+    SELECT c.pid AS id, count(DISTINCT c.cg) AS ncg,
+           max(CASE WHEN c.cg != pg.g THEN 1 ELSE 0 END) AS ad
+    FROM childg c JOIN grp pg ON pg.id = c.pid GROUP BY c.pid)
+SELECT t.id, CASE WHEN a.ncg IS NULL THEN false
+                  WHEN t.parent IS NULL THEN a.ncg >= 2
+                  ELSE a.ad = 1 END AS is_cut
+FROM tree t LEFT JOIN cagg a ON a.id = t.id"""
+    )
+
+
+def _bcc_sql() -> str:
+    return _biconn_sql_body() + "\nSELECT id, g AS bcc FROM grp"
+
+
 def _ppr_sql(iters: int = PPR_ITERS, alpha: float = PPR_ALPHA) -> str:
     """Unrolled personalized-PageRank recurrence (ppr.h:41-73):
     undirected degree, restart mass (1-alpha) at the source only."""
@@ -1543,6 +1691,9 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["louvain"] = _louvain_sql()
     sql["louvain_full"] = _louvain_full_sql()
     sql["scc"] = _scc_sql()
+    sql["bridges"] = _bridges_sql()
+    sql["articulation_points"] = _articulation_sql()
+    sql["bcc"] = _bcc_sql()
     sql["ppr"] = _ppr_sql()
     sql["articlerank"] = _articlerank_sql()
     sql["bfs_tree"] = _bfs_tree_sql()

@@ -116,6 +116,13 @@ def main() -> None:
     extra["scc_rounds"] = sc.rounds
 
     t0 = time.time()
+    from linkgraph.algos.biconnectivity import biconnectivity
+
+    bi = biconnectivity(Graph.from_edges(e, directed=False))
+    bi.bcc.count(), bi.bridges.count(), bi.cut_points.count()
+    queries["biconnectivity"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     pl.lsh_candidate_pairs(spark, sf_dir).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
 

@@ -33,7 +33,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("algo", choices=[
         "pagerank", "wcc", "cdlp", "triangles", "lcc", "bfs", "sssp", "hits", "kcore",
         "kshell", "louvain", "closeness", "betweenness", "voterank", "sssp_path",
-        "eigenvector", "katz", "scc", "ppr", "articlerank", "bfs_tree", "custom",
+        "eigenvector", "katz", "scc", "ppr", "articlerank", "bfs_tree",
+        "bridges", "cut_points", "bcc", "custom",
     ])
     ap.add_argument("--edges", required=True, help="parquet with (src,dst[,props])")
     ap.add_argument("--vertices", default=None, help="optional parquet with (id,...)")
@@ -167,6 +168,14 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algos.traversal import bfs_tree
         res = bfs_tree(g, source=args.source, engine=eng,
                        num_partitions=args.partitions)
+    elif args.algo in ("bridges", "cut_points", "bcc"):
+        from linkgraph.algos.biconnectivity import biconnectivity
+        from linkgraph.engine import SuperstepResult
+        bires = biconnectivity(g, engine=eng, num_partitions=args.partitions)
+        frame = {"bridges": bires.bridges, "cut_points": bires.cut_points,
+                 "bcc": bires.bcc}[args.algo]
+        res = SuperstepResult(state=frame, rounds=bires.rounds,
+                              converged=True, metrics=bires.metrics)
     elif args.algo == "custom":
         # the §2.8 user-defined-app surface: the step_fn contract IS
         # the PIE shape (PEval = round 0 on the init state, IncEval =
