@@ -55,6 +55,11 @@ LOUVAIN_FULL_ROUNDS = 3
 LOUVAIN_FULL_LEVELS = 2
 PPR_ITERS = 15
 PPR_ALPHA = 0.5
+MIS_UNROLL = 8        # measured 3 rounds at sf0.01 on the thinned graph
+MM_UNROLL = 16        # measured 10
+MDS_UNROLL = 24       # measured 9 (15 at sf0.1)
+MSF_W_RANGE = 10      # max co-occurrence weight is 3 at sf0.1
+HARMONIC_SOURCES = 32
 AR_ITERS = 15
 AR_DAMPING = 0.85
 AVGLEN_W_SOURCES = 16
@@ -380,6 +385,69 @@ def _q_bcc(spark, sf_dir):
     return biconnectivity(_thinned_graph(spark, sf_dir)).bcc
 
 
+def _q_mis(spark, sf_dir):
+    """Maximal independent set (flash/matching/mis.h:47-82) on the
+    thinned graph (the dense full graph converges in the same way but
+    the thinned gate also exercises multi-round selection)."""
+    from linkgraph.algos.matching import mis
+
+    res = mis(_thinned_graph(spark, sf_dir))
+    _assert_unroll(res, MIS_UNROLL, "mis")
+    return res.state.select("id", "in_mis")
+
+
+def _q_maximal_matching(spark, sf_dir):
+    """Maximal matching (flash/matching/mm.h:48-75), thinned graph —
+    mutual-max-id pairing needs O(V) rounds on a DENSE graph (every
+    vertex courts the same global max), so the gate runs the sparse
+    thinned set where it takes ~10 rounds, like the reference's
+    sparse test graphs."""
+    from linkgraph.algos.matching import maximal_matching
+
+    res = maximal_matching(_thinned_graph(spark, sf_dir))
+    _assert_unroll(res, MM_UNROLL, "maximal_matching")
+    return res.state.select("id", "match")
+
+
+def _q_min_dominating_set(spark, sf_dir):
+    """Greedy minimal dominating set
+    (flash/matching/min-dominating-set.h:50-96), thinned graph."""
+    from linkgraph.algos.matching import min_dominating_set
+
+    res = min_dominating_set(_thinned_graph(spark, sf_dir))
+    _assert_unroll(res, MDS_UNROLL, "min_dominating_set")
+    return res.state.select("id", "in_mds")
+
+
+def _q_msf(spark, sf_dir):
+    """Minimum-spanning-forest total weight
+    (flash/measurement/msf.h:46-63) over the weighted co-occurrence
+    graph. The oracle computes the SAME weight through the Kruskal
+    threshold identity Σ_k (C_k − C) — fully independent of the
+    engine's Borůvka."""
+    from linkgraph.algos.msf import msf
+
+    e = part_edges(spark, sf_dir)
+    th = e.where((F.col("src") * 1000003 + F.col("dst")) % 24 == 0)
+    g = Graph.from_edges(th, directed=False, weight_col="weight")
+    res = msf(g, weight_col="weight")
+    return res.state.agg(F.round(F.sum("weight"), 8).alias("msf_weight"))
+
+
+def _q_harmonic(spark, sf_dir):
+    """Harmonic centrality of the K min-id vertices
+    (flash/centrality/harmonic.h:72-85, deterministic source set
+    instead of the reference's time-seeded sample)."""
+    from linkgraph.algos.paths import harmonic_centrality
+
+    g = part_graph(spark, sf_dir)
+    res = harmonic_centrality(
+        g, sources=_min_sources(g, HARMONIC_SOURCES), directed=False
+    )
+    _assert_unroll(res, MSBFS_LAYERS, "harmonic")
+    return res.state.select("id", F.round("harmonic", 8).alias("harmonic"))
+
+
 def _q_ppr(spark, sf_dir):
     """Personalized PageRank from the min vertex id, undirected edge
     set, alpha = 0.5 fixed iterations (flash/ranking/ppr.h:41-73)."""
@@ -661,6 +729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": _q_bridges,
         "articulation_points": _q_articulation,
         "bcc": _q_bcc,
+        "mis": _q_mis,
+        "maximal_matching": _q_maximal_matching,
+        "min_dominating_set": _q_min_dominating_set,
+        "msf": _q_msf,
+        "harmonic": _q_harmonic,
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
         "bfs_tree": _q_bfs_tree,
@@ -1323,6 +1396,175 @@ FROM reach f JOIN reach g ON g.a = f.b AND g.b = f.a
 GROUP BY f.b"""
 
 
+# deterministic hash-thinned edge set shared by the biconnectivity
+# and matching-family gates (the full co-occurrence graph is one
+# dense near-clique; thinning leaves multi-round greedy structure)
+_THIN_SQL = """
+, bedges AS MATERIALIZED (
+    SELECT src, dst FROM edges WHERE (src * 1000003 + dst) % 24 = 0)
+, bverts AS MATERIALIZED (
+    SELECT DISTINCT id FROM (SELECT src AS id FROM bedges UNION ALL SELECT dst FROM bedges))
+, bsym AS MATERIALIZED (SELECT src, dst FROM bedges UNION SELECT dst, src FROM bedges)"""
+
+
+def _mis_sql(rounds: int = MIS_UNROLL) -> str:
+    """Unrolled greedy MIS (mis.h): per round the active local minima
+    of r = deg·n + id join, their neighbours leave."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}{_THIN_SQL}",
+        ", bdeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM bsym GROUP BY src)",
+        ", bn AS (SELECT count(*) AS n FROM bverts)",
+        ", a0 AS MATERIALIZED (SELECT v.id,"
+        " coalesce(d.d, 0) * (SELECT n FROM bn) + v.id AS r,"
+        " TRUE AS active, FALSE AS sel"
+        " FROM bverts v LEFT JOIN bdeg d ON d.id = v.id)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""", n{k} AS MATERIALIZED (
+  SELECT e.dst AS id, min(s.r) AS nm
+  FROM bsym e JOIN a{p} s ON s.id = e.src AND s.active
+  JOIN a{p} t ON t.id = e.dst AND t.active
+  GROUP BY e.dst)
+, s{k} AS MATERIALIZED (
+  SELECT a.id FROM a{p} a LEFT JOIN n{k} m ON m.id = a.id
+  WHERE a.active AND (m.nm IS NULL OR a.r < m.nm))
+, d{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM bsym e JOIN s{k} s ON s.id = e.src)
+, a{k} AS MATERIALIZED (
+  SELECT a.id, a.r,
+         a.active AND s.id IS NULL AND d.id IS NULL AS active,
+         a.sel OR s.id IS NOT NULL AS sel
+  FROM a{p} a LEFT JOIN s{k} s ON s.id = a.id LEFT JOIN d{k} d ON d.id = a.id)"""
+        )
+    parts.append(f"SELECT id, sel AS in_mis FROM a{rounds}")
+    return "\n".join(parts)
+
+
+def _mm_sql(rounds: int = MM_UNROLL) -> str:
+    """Unrolled maximal matching (mm.h): mutual-max-id active pairs
+    match each round."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}{_THIN_SQL}",
+        ", a0 AS MATERIALIZED (SELECT id, CAST(NULL AS BIGINT) AS match FROM bverts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+  SELECT e.dst AS id, max(e.src) AS p
+  FROM bsym e JOIN a{p} s ON s.id = e.src AND s.match IS NULL
+  JOIN a{p} t ON t.id = e.dst AND t.match IS NULL
+  GROUP BY e.dst)
+, m{k} AS MATERIALIZED (
+  SELECT x.id AS u, x.p AS v FROM p{k} x JOIN p{k} y ON y.id = x.p AND y.p = x.id
+  WHERE x.id < x.p)
+, a{k} AS MATERIALIZED (
+  SELECT a.id, coalesce(a.match, mm.mat) AS match
+  FROM a{p} a LEFT JOIN (
+    SELECT u AS id, v AS mat FROM m{k} UNION ALL SELECT v, u FROM m{k}) mm
+  ON mm.id = a.id)"""
+        )
+    parts.append(f"SELECT id, coalesce(match, -1) AS match FROM a{rounds}")
+    return "\n".join(parts)
+
+
+def _mds_sql(rounds: int = MDS_UNROLL) -> str:
+    """Unrolled greedy dominating set (min-dominating-set.h): two
+    closed-neighbourhood (cnt, id) argmax layers per round (the
+    reference's double `local`), self-argmax vertices join. Priority
+    encoded as cnt·10^12 + id (lexicographic, ids < 10^12)."""
+    B = 10**12
+    parts = [
+        f"WITH {PART_EDGES_SQL}{_THIN_SQL}",
+        ", bdeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM bsym GROUP BY src)",
+        ", a0 AS MATERIALIZED (SELECT v.id, coalesce(d.d, 0) AS cnt,"
+        " TRUE AS active, FALSE AS sel"
+        " FROM bverts v LEFT JOIN bdeg d ON d.id = v.id)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""", m1_{k} AS MATERIALIZED (
+  SELECT t.id, max(t.v) AS m FROM (
+    SELECT id, cnt * {B} + id AS v FROM a{p} WHERE active
+    UNION ALL
+    SELECT e.dst AS id, s.cnt * {B} + s.id AS v
+    FROM bsym e JOIN a{p} s ON s.id = e.src AND s.active
+    JOIN a{p} t2 ON t2.id = e.dst AND t2.active
+  ) t GROUP BY t.id)
+, m2_{k} AS MATERIALIZED (
+  SELECT t.id, max(t.v) AS m FROM (
+    SELECT id, m AS v FROM m1_{k}
+    UNION ALL
+    SELECT e.dst AS id, s.m AS v
+    FROM bsym e JOIN m1_{k} s ON s.id = e.src
+    JOIN a{p} t2 ON t2.id = e.dst AND t2.active
+  ) t GROUP BY t.id)
+, s{k} AS MATERIALIZED (SELECT id FROM m2_{k} WHERE m % {B} = id)
+, d{k} AS MATERIALIZED (
+  SELECT id FROM s{k}
+  UNION
+  SELECT e.dst AS id FROM bsym e JOIN s{k} s ON s.id = e.src)
+, rem{k} AS MATERIALIZED (
+  SELECT a.id FROM a{p} a LEFT JOIN d{k} d ON d.id = a.id
+  WHERE a.active AND d.id IS NULL)
+, rc{k} AS MATERIALIZED (
+  SELECT e.dst AS id, count(*) AS c
+  FROM bsym e JOIN rem{k} r1 ON r1.id = e.src JOIN rem{k} r2 ON r2.id = e.dst
+  GROUP BY e.dst)
+, a{k} AS MATERIALIZED (
+  SELECT a.id, coalesce(c.c, 0) AS cnt,
+         r.id IS NOT NULL AS active,
+         a.sel OR s.id IS NOT NULL AS sel
+  FROM a{p} a LEFT JOIN rem{k} r ON r.id = a.id
+  LEFT JOIN rc{k} c ON c.id = a.id LEFT JOIN s{k} s ON s.id = a.id)"""
+        )
+    parts.append(f"SELECT id, sel AS in_mds FROM a{rounds}")
+    return "\n".join(parts)
+
+
+def _msf_sql(wrange: int = MSF_W_RANGE) -> str:
+    """MSF total weight via the Kruskal threshold identity — for
+    integer weights, MSF weight = Σ_{{k=0}}^{{W-1}} (C_k − C) where
+    C_k = #components of the ≤k-weight subgraph (exactly C_k − C
+    forest edges weigh more than k). Completely independent of the
+    engine's Borůvka edge choices."""
+    return f"""WITH RECURSIVE {PART_EDGES_SQL}
+, wedges AS MATERIALIZED (
+    SELECT src, dst, CAST(weight AS BIGINT) AS w FROM edges
+    WHERE (src * 1000003 + dst) % 24 = 0)
+, wverts AS MATERIALIZED (
+    SELECT DISTINCT id FROM (SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges))
+, symw AS MATERIALIZED (
+    SELECT src, dst, w FROM wedges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM wedges)
+, ks AS (SELECT unnest(generate_series(0, {wrange - 1})) AS k)
+, lab(k, id, comp) AS (
+    SELECT ks.k, v.id, v.id FROM ks, wverts v
+    UNION
+    SELECT l.k, e.dst, l.comp
+    FROM lab l JOIN symw e ON e.src = l.id AND e.w <= l.k
+    WHERE l.comp < e.dst)
+, mins AS MATERIALIZED (SELECT k, id, min(comp) AS c FROM lab GROUP BY k, id)
+, cks AS MATERIALIZED (SELECT k, count(DISTINCT c) AS ck FROM mins GROUP BY k)
+, ctot AS (SELECT count(DISTINCT c) AS c FROM mins WHERE k = {wrange - 1})
+SELECT round(CAST(sum(ck - (SELECT c FROM ctot)) AS DOUBLE), 8) AS msf_weight FROM cks"""
+
+
+def _harmonic_sql(k: int = HARMONIC_SOURCES, layers: int = MSBFS_LAYERS) -> str:
+    return (
+        f"WITH {PART_EDGES_SQL}"
+        + _msbfs_layers(k, layers)
+        + f"""
+SELECT s AS id,
+       round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 8) AS harmonic
+FROM r{layers} GROUP BY s"""
+    )
+
+
 def _biconn_sql_body(layers: int = BFS_LAYERS) -> str:
     """Shared oracle body for bridges / articulation_points / bcc —
     derived from FIRST PRINCIPLES rather than re-walking the engine's
@@ -1335,12 +1577,7 @@ def _biconn_sql_body(layers: int = BFS_LAYERS) -> str:
     LCA is strictly above parent(x) keeps (x, parent x) inside its
     block (hs), and min-label components of non-tree ∪ such tree
     edges are the biconnected groups."""
-    return f"""WITH RECURSIVE {PART_EDGES_SQL}
-, bedges AS MATERIALIZED (
-    SELECT src, dst FROM edges WHERE (src * 1000003 + dst) % 24 = 0)
-, bverts AS MATERIALIZED (
-    SELECT DISTINCT id FROM (SELECT src AS id FROM bedges UNION ALL SELECT dst FROM bedges))
-, bsym AS MATERIALIZED (SELECT src, dst FROM bedges UNION SELECT dst, src FROM bedges)
+    return f"""WITH RECURSIVE {PART_EDGES_SQL}{_THIN_SQL}
 , lab(id, comp) AS (
     SELECT id, id FROM bverts
     UNION
@@ -1694,6 +1931,11 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["bridges"] = _bridges_sql()
     sql["articulation_points"] = _articulation_sql()
     sql["bcc"] = _bcc_sql()
+    sql["mis"] = _mis_sql()
+    sql["maximal_matching"] = _mm_sql()
+    sql["min_dominating_set"] = _mds_sql()
+    sql["msf"] = _msf_sql()
+    sql["harmonic"] = _harmonic_sql()
     sql["ppr"] = _ppr_sql()
     sql["articlerank"] = _articlerank_sql()
     sql["bfs_tree"] = _bfs_tree_sql()

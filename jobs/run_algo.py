@@ -34,7 +34,8 @@ def main(argv: list[str] | None = None) -> int:
         "pagerank", "wcc", "cdlp", "triangles", "lcc", "bfs", "sssp", "hits", "kcore",
         "kshell", "louvain", "closeness", "betweenness", "voterank", "sssp_path",
         "eigenvector", "katz", "scc", "ppr", "articlerank", "bfs_tree",
-        "bridges", "cut_points", "bcc", "custom",
+        "bridges", "cut_points", "bcc", "mis", "maximal_matching",
+        "min_dominating_set", "msf", "harmonic", "custom",
     ])
     ap.add_argument("--edges", required=True, help="parquet with (src,dst[,props])")
     ap.add_argument("--vertices", default=None, help="optional parquet with (id,...)")
@@ -168,6 +169,21 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algos.traversal import bfs_tree
         res = bfs_tree(g, source=args.source, engine=eng,
                        num_partitions=args.partitions)
+    elif args.algo == "mis":
+        from linkgraph.algos.matching import mis as _mis
+        res = _mis(g, num_partitions=args.partitions)
+    elif args.algo == "maximal_matching":
+        from linkgraph.algos.matching import maximal_matching
+        res = maximal_matching(g, num_partitions=args.partitions)
+    elif args.algo == "min_dominating_set":
+        from linkgraph.algos.matching import min_dominating_set
+        res = min_dominating_set(g, num_partitions=args.partitions)
+    elif args.algo == "msf":
+        from linkgraph.algos.msf import msf as _msf
+        res = _msf(g, weight_col=args.weight_col, num_partitions=args.partitions)
+    elif args.algo == "harmonic":
+        from linkgraph.algos.paths import harmonic_centrality
+        res = harmonic_centrality(g, engine=eng, num_partitions=args.partitions)
     elif args.algo in ("bridges", "cut_points", "bcc"):
         from linkgraph.algos.biconnectivity import biconnectivity
         from linkgraph.engine import SuperstepResult

@@ -264,6 +264,34 @@ def closeness_centrality(
     return res
 
 
+def harmonic_centrality(
+    graph: Graph,
+    sources=None,
+    directed: bool | None = None,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Harmonic centrality of each vertex in ``sources`` (None = all):
+    harmonic(v) = Σ_u 1/dist(u, v) over vertices that can reach v —
+    the summand of flash/centrality/harmonic.h:72-85 (d.val += 1.0/i
+    per newly-seen source at BFS depth i), made deterministic: the
+    reference samples 500 rand_r sources with a time(NULL) seed;
+    callers here pass an explicit source set. Unnormalized, like the
+    reference. Returns state (id: long, harmonic: double)."""
+    res = multi_source_bfs(graph, sources=sources, directed=directed,
+                           reverse=True, engine=engine,
+                           num_partitions=num_partitions)
+    res.state = (
+        res.state.groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(0.0))
+            .alias("harmonic")
+        )
+        .select(F.col("s").alias("id"), "harmonic")
+    )  # the (s, s, 0) self-row keeps unreaching sources at 0.0
+    return res
+
+
 def sssp_path(
     graph: Graph,
     source: int,
