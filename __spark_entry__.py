@@ -60,6 +60,8 @@ MM_UNROLL = 16        # measured 10
 MDS_UNROLL = 24       # measured 9 (15 at sf0.1)
 MSF_W_RANGE = 10      # max co-occurrence weight is 3 at sf0.1
 HARMONIC_SOURCES = 32
+DIAM_K = 16
+DIAM_LAYERS = 30      # thinned-graph BFS depth ≤ 9 at sf0.1; 30 is slack
 AR_ITERS = 15
 AR_DAMPING = 0.85
 AVGLEN_W_SOURCES = 16
@@ -350,7 +352,9 @@ def _thinned_graph(spark, sf_dir):
     blocks (e.g. sf0.001: 363 edges, 14 bridges, 29 blocks)."""
     e = part_edges(spark, sf_dir).select("src", "dst")
     th = e.where((F.col("src") * 1000003 + F.col("dst")) % 24 == 0)
-    return Graph.from_edges(th, directed=False)
+    # directed=True = honest storage flag (one row per src<dst pair,
+    # like part_graph); undirected algorithms symmetrize on traversal
+    return Graph.from_edges(th, directed=True)
 
 
 def _q_bridges(spark, sf_dir):
@@ -446,6 +450,18 @@ def _q_harmonic(spark, sf_dir):
     )
     _assert_unroll(res, MSBFS_LAYERS, "harmonic")
     return res.state.select("id", F.round("harmonic", 8).alias("harmonic"))
+
+
+def _q_diameter(spark, sf_dir):
+    """Two-phase approximate diameter + radius
+    (flash/measurement/diameter-approx.h:45-108, deterministic min-id
+    phase-1 sources) on the thinned graph (the full co-occurrence
+    graph has diameter ~3 — trivial)."""
+    from linkgraph.algos.paths import diameter_approx
+
+    res = diameter_approx(_thinned_graph(spark, sf_dir), k=DIAM_K, directed=False)
+    _assert_unroll(res, 2 * DIAM_LAYERS, "diameter_approx")
+    return res.state
 
 
 def _q_ppr(spark, sf_dir):
@@ -734,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_dominating_set": _q_min_dominating_set,
         "msf": _q_msf,
         "harmonic": _q_harmonic,
+        "diameter_approx": _q_diameter,
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
         "bfs_tree": _q_bfs_tree,
@@ -1554,6 +1571,45 @@ def _msf_sql(wrange: int = MSF_W_RANGE) -> str:
 SELECT round(CAST(sum(ck - (SELECT c FROM ctot)) AS DOUBLE), 8) AS msf_weight FROM cks"""
 
 
+def _diameter_sql(k: int = DIAM_K, layers: int = DIAM_LAYERS) -> str:
+    """Two unrolled k-source BFS phases over the thinned graph: the
+    second phase's sources are the top-k (ecc desc, id asc) of the
+    first; diameter = max accumulated ecc, radius = min nonzero."""
+
+    def bfs_layers(prefix: str, src_cte: str) -> list[str]:
+        parts = [f", {prefix}0 AS MATERIALIZED (SELECT s, s AS id,"
+                 f" CAST(0 AS BIGINT) AS d FROM {src_cte})"]
+        for i in range(1, layers + 1):
+            p = i - 1
+            parts.append(
+                f""", {prefix}{i} AS MATERIALIZED (
+  SELECT s, id, min(d) AS d FROM (
+    SELECT s, id, d FROM {prefix}{p}
+    UNION ALL
+    SELECT r.s, e.dst AS id, r.d + 1 AS d
+    FROM bsym e JOIN {prefix}{p} r ON r.id = e.src AND r.d = {p}
+  ) GROUP BY s, id)"""
+            )
+        return parts
+
+    parts = [f"WITH {PART_EDGES_SQL}{_THIN_SQL}",
+             f", s1 AS MATERIALIZED (SELECT id AS s FROM bverts ORDER BY id LIMIT {k})"]
+    parts += bfs_layers("r", "s1")
+    parts.append(
+        f""", e1 AS MATERIALIZED (SELECT id, max(d) AS ecc FROM r{layers} GROUP BY id)
+, s2 AS MATERIALIZED (SELECT id AS s FROM e1 ORDER BY ecc DESC, id ASC LIMIT {k})"""
+    )
+    parts += bfs_layers("q", "s2")
+    parts.append(
+        f""", e2 AS MATERIALIZED (SELECT id, max(d) AS ecc FROM q{layers} GROUP BY id)
+, ecc AS (SELECT id, max(ecc) AS ecc FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) GROUP BY id)
+SELECT CAST(max(ecc) AS BIGINT) AS diameter,
+       CAST(min(CASE WHEN ecc > 0 THEN ecc END) AS BIGINT) AS radius
+FROM ecc"""
+    )
+    return "\n".join(parts)
+
+
 def _harmonic_sql(k: int = HARMONIC_SOURCES, layers: int = MSBFS_LAYERS) -> str:
     return (
         f"WITH {PART_EDGES_SQL}"
@@ -1936,6 +1992,7 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
     sql["min_dominating_set"] = _mds_sql()
     sql["msf"] = _msf_sql()
     sql["harmonic"] = _harmonic_sql()
+    sql["diameter_approx"] = _diameter_sql()
     sql["ppr"] = _ppr_sql()
     sql["articlerank"] = _articlerank_sql()
     sql["bfs_tree"] = _bfs_tree_sql()

@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
         "kshell", "louvain", "closeness", "betweenness", "voterank", "sssp_path",
         "eigenvector", "katz", "scc", "ppr", "articlerank", "bfs_tree",
         "bridges", "cut_points", "bcc", "mis", "maximal_matching",
-        "min_dominating_set", "msf", "harmonic", "custom",
+        "min_dominating_set", "msf", "harmonic", "diameter_approx", "custom",
     ])
     ap.add_argument("--edges", required=True, help="parquet with (src,dst[,props])")
     ap.add_argument("--vertices", default=None, help="optional parquet with (id,...)")
@@ -184,6 +184,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "harmonic":
         from linkgraph.algos.paths import harmonic_centrality
         res = harmonic_centrality(g, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "diameter_approx":
+        from linkgraph.algos.paths import diameter_approx
+        res = diameter_approx(g, k=args.k, engine=eng,
+                              num_partitions=args.partitions)
     elif args.algo in ("bridges", "cut_points", "bcc"):
         from linkgraph.algos.biconnectivity import biconnectivity
         from linkgraph.engine import SuperstepResult

@@ -45,10 +45,13 @@ from linkgraph.joins import state_join
 
 def _prep_edges(graph: Graph, P: int, directed: bool | None, reverse: bool) -> DataFrame:
     use_directed = graph.directed if directed is None else directed
-    # undirected traversal of a stored-directed graph symmetrizes; a
-    # graph already stored symmetric (directed=False) is used as-is
+    # undirected traversal ALWAYS symmetrizes (idempotent under the
+    # trailing dedup): a Graph flagged directed=False is supposed to
+    # store both directions, but from_edges does not enforce that
+    # invariant, and trusting it silently under-reaches on a
+    # one-direction edge list (caught by the diameter_approx gate)
     e = (
-        graph.symmetrized_edges() if (graph.directed and not use_directed) else graph.edges
+        graph.symmetrized_edges() if not use_directed else graph.edges
     ).select("src", "dst")
     if reverse and use_directed:
         e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -290,6 +293,52 @@ def harmonic_centrality(
         .select(F.col("s").alias("id"), "harmonic")
     )  # the (s, s, 0) self-row keeps unreaching sources at 0.0
     return res
+
+
+def diameter_approx(
+    graph: Graph,
+    k: int = 16,
+    directed: bool | None = None,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Approximate diameter + radius via two k-source BFS phases
+    (flash/measurement/diameter-approx.h:45-108): phase 1 BFS from k
+    sources gives each vertex an eccentricity lower bound ecc(v) =
+    max over sources of dist; phase 2 re-runs BFS from the top-k
+    vertices by (ecc, id) — the periphery candidates — accumulating
+    into the same ecc. diameter ≈ max ecc, radius ≈ min nonzero ecc.
+    The reference samples its phase-1 sources with a time(NULL) seed
+    (diameter-approx.h:53-55); here they are the k min ids, making
+    both phases deterministic. Returns state = ONE row
+    (diameter: long, radius: long); res.rounds = total BFS rounds
+    across both phases (each bounded by the true diameter)."""
+    res1 = multi_source_bfs(graph, sources=_min_sources_df(graph, k),
+                            directed=directed, engine=engine,
+                            num_partitions=num_partitions)
+    ecc1 = res1.state.groupBy("id").agg(F.max("dist").alias("ecc"))
+    srcs2 = (
+        ecc1.orderBy(F.col("ecc").desc(), F.col("id").asc()).limit(k)
+        .select(F.col("id").alias("s"))
+    )
+    res2 = multi_source_bfs(graph, sources=srcs2, directed=directed,
+                            engine=engine, num_partitions=num_partitions)
+    ecc2 = res2.state.groupBy("id").agg(F.max("dist").alias("ecc"))
+    ecc = (
+        ecc1.unionByName(ecc2).groupBy("id").agg(F.max("ecc").alias("ecc"))
+    )
+    summary = ecc.agg(
+        F.max("ecc").cast("long").alias("diameter"),
+        F.min(F.when(F.col("ecc") > 0, F.col("ecc"))).cast("long").alias("radius"),
+    )
+    res2.state = summary
+    res2.rounds = res1.rounds + res2.rounds
+    res2.metrics = res1.metrics + res2.metrics
+    return res2
+
+
+def _min_sources_df(graph: Graph, k: int) -> DataFrame:
+    return graph.deduced_vertices().orderBy("id").limit(k)
 
 
 def sssp_path(

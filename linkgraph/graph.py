@@ -47,7 +47,14 @@ class Graph:
     ) -> "Graph":
         """Build a graph from an edge table; vertex set deduced from
         endpoints when not given (reference deduces vertex labels from
-        edge endpoints the same way, graph.py:565-577)."""
+        edge endpoints the same way, graph.py:565-577).
+
+        NOTE: directed=False asserts the edge table already stores
+        BOTH directions (the `to_undirected()` invariant) — it is not
+        enforced here. For a one-row-per-undirected-pair table, keep
+        directed=True and let algorithms symmetrize on traversal
+        (they all do); traversal helpers also symmetrize defensively.
+        """
         g = cls(edges=edges, vertices=vertices, directed=directed, weight_col=weight_col)
         return g
 
