@@ -67,11 +67,16 @@ def mis(
     edges.count()
 
     verts = graph.deduced_vertices()
-    n = verts.count()
     deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    # priority r(v) = (deg, id) compared LEXICOGRAPHICALLY: a strict
+    # total order for arbitrary long ids (the reference's deg·n + id
+    # arithmetic assumes ids dense in [0, n) — with sparse ids two
+    # adjacent vertices can tie and neither is ever a strict local
+    # minimum, stalling the greedy loop).
     active = (
         verts.join(deg.hint("SHUFFLE_HASH"), "id", "left")
-        .select("id", (F.coalesce("deg", F.lit(0)) * F.lit(n) + F.col("id")).alias("r"))
+        .select("id", F.struct(F.coalesce("deg", F.lit(0)).cast("long").alias("d"),
+                               F.col("id").alias("i")).alias("r"))
         .repartition(P, "id")
         .localCheckpoint(eager=True)
     )
@@ -110,6 +115,7 @@ def mis(
         )
         metrics.append({"round": rounds, "active": int(n_active), "selected": int(n_sel)})
 
+    converged = active.isEmpty()
     in_set = selected_frames[0] if selected_frames else verts.limit(0).select("id")
     for f in selected_frames[1:]:
         in_set = in_set.unionByName(f)
@@ -118,7 +124,8 @@ def mis(
         .select("id", F.coalesce("_s", F.lit(False)).alias("in_mis"))
     )
     edges.unpersist()
-    return SuperstepResult(state=state, rounds=rounds, converged=True, metrics=metrics)
+    return SuperstepResult(state=state, rounds=rounds, converged=converged,
+                           metrics=metrics)
 
 
 def maximal_matching(

@@ -129,13 +129,35 @@ def scc(
             (F.col("fid") == F.col("id")).alias("changed"),
         )
 
+        # Colour-respecting reverse edges: any v->pivot path inside an
+        # SCC stays inside the SCC, so every hop of a valid backward
+        # message has equal fid at both endpoints. Filtering the edge
+        # frame once per outer round (two V-row joins) means every
+        # message that arrives is own-colour, so min-aggregation can
+        # never discard an own-colour label in favour of a foreign one
+        # (scc.h's per-edge check2: d.fid == s.scc).
+        fid_f = fres.state.select("id", "fid")
+        er_c = (
+            er.join(fid_f.select(F.col("id").alias("src"),
+                                 F.col("fid").alias("_fs")).hint("SHUFFLE_HASH"),
+                    "src")
+            .join(fid_f.select(F.col("id").alias("dst"),
+                               F.col("fid").alias("_fd")).hint("SHUFFLE_HASH"),
+                  "dst")
+            .where(F.col("_fs") == F.col("_fd"))
+            .select("src", "dst")
+            .repartition(P, "src")
+            .persist()
+        )
+        er_c.count()
+
         def bwd_step(state: DataFrame, round_: int):
             frontier = state.where(F.col("changed")).select(
                 F.col("id").alias("src"), F.col("scc").alias("m"))
             # reverse edges: successors (in forward orientation) push
             # their scc label to predecessors with matching colour
             cand = (
-                er.join(frontier.hint("SHUFFLE_HASH"), "src")
+                er_c.join(frontier.hint("SHUFFLE_HASH"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("m").alias("cand"))
             )
@@ -168,12 +190,21 @@ def scc(
                               .localCheckpoint(eager=True)
         ef.unpersist()
         er.unpersist()
+        er_c.unpersist()
         active = remaining
 
-    out = assigned_frames[0]
-    for f in assigned_frames[1:]:
+    converged = active.isEmpty()
+    # empty-graph safe seed; on max_outer exhaustion keep the
+    # still-unassigned vertices visible (scc=NULL) instead of dropping
+    # them, and report converged=False.
+    out = spark.createDataFrame([], "id long, scc long")
+    for f in assigned_frames:
         out = out.unionByName(f)
+    if not converged:
+        out = out.unionByName(
+            active.select("id", F.lit(None).cast("long").alias("scc")))
     fwd.unpersist()
     rev.unpersist()
     return SuperstepResult(state=out.select("id", F.col("scc").cast("long").alias("scc")),
-                           rounds=total_rounds, converged=True, metrics=all_metrics)
+                           rounds=total_rounds, converged=converged,
+                           metrics=all_metrics)

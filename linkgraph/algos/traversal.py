@@ -164,8 +164,12 @@ def bfs_tree(
     spark = graph.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     use_directed = graph.directed if directed is None else directed
-    e = (graph.symmetrized_edges() if (graph.directed and not use_directed)
-         else graph.edges).select("src", "dst").where(F.col("src") != F.col("dst"))
+    # symmetrize whenever the traversal is undirected (matching
+    # _prep_edges): an undirected graph may store one direction per
+    # pair, and levels reached via the unstored direction would
+    # otherwise get parent = NULL.
+    e = (graph.edges if use_directed else graph.symmetrized_edges()) \
+        .select("src", "dst").where(F.col("src") != F.col("dst"))
 
     # res.state is already engine-materialized (localCheckpoint), so
     # the three reads below rescan a cached frame — no extra persist

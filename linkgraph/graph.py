@@ -204,7 +204,16 @@ class Graph:
         load_from round-trip (graph.py:1285-1346)."""
         import json as _json
 
-        meta = _json.loads(spark.read.text(f"{path}/meta").first()[0])
+        try:
+            meta = _json.loads(spark.read.text(f"{path}/meta").first()[0])
+        except Exception:
+            # archives written by the pre-r3 save() carried a
+            # driver-local meta.json instead of the {path}/meta text
+            # directory — fall back so old archives still load
+            import os as _os
+
+            with open(_os.path.join(path, "meta.json")) as fh:
+                meta = _json.load(fh)
         fmt = meta.get("format", "parquet")
         edges = spark.read.format(fmt).load(f"{path}/edges")
         vertices = (

@@ -27,8 +27,9 @@ def _adj(pairs):
 
 def py_mis(pairs):
     adj = _adj(pairs)
-    n = len(adj)
-    r = {v: len(adj[v]) * n + v for v in adj}
+    # lexicographic (deg, id) — a strict total order even for sparse
+    # ids (the deg*n+id arithmetic ties when id diff = n * deg diff)
+    r = {v: (len(adj[v]), v) for v in adj}
     active = set(adj)
     out = set()
     while active:
@@ -187,3 +188,19 @@ def test_msf(spark, pairs):
                     changed = True
     assert {frozenset(v for v in adj if comp[v] == c) for c in set(comp.values())} == \
            {frozenset(v for v in adj if fcomp[v] == c) for c in set(fcomp.values())}
+
+
+def test_mis_sparse_ids_no_stall(spark):
+    # Regression (ADVICE r3): with r = deg*n + id, ids 0/4/9/10 tie
+    # (id diff = n * deg diff) and the loop stalled, returning a
+    # non-maximal set {10} with converged=True.
+    pairs = [(0, 4), (0, 9), (9, 10)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    res = mis(Graph.from_edges(df, directed=False))
+    got = {r["id"] for r in res.state.collect() if r["in_mis"]}
+    assert res.converged
+    adj = _adj(pairs)
+    # independent + maximal
+    assert all(u not in got or v not in got for u, v in pairs)
+    assert all(v in got or any(u in got for u in adj[v]) for v in adj)
+    assert got == py_mis(pairs)

@@ -97,3 +97,19 @@ def test_scc_all_singletons(spark):
     # a DAG: every SCC is a singleton labelled by itself
     edges = [(i, i + 1) for i in range(1, 8)]
     _check(spark, edges)
+
+
+def test_scc_mixed_colour_messages(spark):
+    # Regression (ADVICE r3): vertex 10 receives a foreign label (5,
+    # via 11) and its own-colour label in the same backward round; a
+    # bare min-agg kept the foreign one and 10 was never assigned,
+    # splitting the {5,10,11} SCC. Tarjan: scc(10) = 5.
+    edges = [(3, 6), (6, 3), (5, 10), (10, 11), (11, 5), (10, 6)]
+    _check(spark, edges)
+
+
+def test_scc_empty_graph(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    res = scc(Graph.from_edges(df, directed=True))
+    assert res.state.count() == 0
+    assert res.converged

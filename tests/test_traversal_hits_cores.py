@@ -88,3 +88,15 @@ def test_kshell_hindex_matches_peeling(spark, small_graph, small_edges_np):
     ids, core = oracle.core_numbers(src, dst)
     exp = {int(i): int(c) for i, c in zip(ids, core)}
     assert got == exp
+
+
+def test_bfs_tree_undirected_one_direction_storage(spark):
+    # Regression (ADVICE r3): undirected graph storing one direction
+    # per pair — levels reach via both directions but the parent join
+    # used stored rows only, leaving reached vertices parent=NULL.
+    from linkgraph.algos.traversal import bfs_tree
+
+    df = spark.createDataFrame([(2, 1), (2, 3)], "src long, dst long")
+    res = bfs_tree(Graph.from_edges(df, directed=False), source=1)
+    rows = {r["id"]: (r["parent"], r["level"]) for r in res.state.collect()}
+    assert rows == {1: (None, 0), 2: (1, 1), 3: (2, 2)}
