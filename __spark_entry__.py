@@ -103,19 +103,17 @@ def _q_degree_centrality(spark, sf_dir):
 
 
 def _q_pagerank(spark, sf_dir):
-    g = part_graph(spark, sf_dir)
-    res = pagerank(g, alpha=PR_ALPHA, max_iter=PR_ITERS, tol=0.0)
-    return res.state.select("id", F.round("rank", 8).alias("rank"))
-
-
-def _q_pagerank_csr(spark, sf_dir):
-    """Same PageRank semantics through the CSR-block mapInPandas
-    kernel (linkgraph/csr.py) — shares the join-mode oracle."""
+    """One gate, BOTH engines: the join-mode superstep PageRank and
+    the CSR-block mapInPandas kernel (linkgraph/csr.py) as columns
+    (rank, rank_csr) against a single oracle recurrence."""
     from linkgraph.csr import pagerank_csr
 
     g = part_graph(spark, sf_dir)
-    res = pagerank_csr(g, alpha=PR_ALPHA, max_iter=PR_ITERS, tol=0.0)
-    return res.state.select("id", F.round("rank", 8).alias("rank"))
+    res = pagerank(g, alpha=PR_ALPHA, max_iter=PR_ITERS, tol=0.0)
+    res_csr = pagerank_csr(g, alpha=PR_ALPHA, max_iter=PR_ITERS, tol=0.0)
+    return res.state.select("id", F.round("rank", 8).alias("rank")).join(
+        res_csr.state.select("id", F.round("rank", 8).alias("rank_csr")), "id"
+    )
 
 
 def _q_wcc(spark, sf_dir):
@@ -129,20 +127,18 @@ def _q_cdlp(spark, sf_dir):
 
 
 def _q_triangles(spark, sf_dir):
-    return triangles(part_graph(spark, sf_dir)).select("id", "tri")
+    """Per-vertex triangle counts AND local clustering coefficient
+    (one multi-column gate — both derive from the same oriented
+    wedge-join frame)."""
+    g = part_graph(spark, sf_dir)
+    t = triangles(g).select("id", "tri")
+    l = lcc(g).select("id", F.round("lcc", 8).alias("lcc"))
+    return t.join(l, "id")
 
 
-def _q_triangle_count(spark, sf_dir):
-    return triangle_corners(part_graph(spark, sf_dir)).agg(
-        F.count("*").alias("n_triangles")
-    )
-
-
-def _q_lcc(spark, sf_dir):
-    return lcc(part_graph(spark, sf_dir)).select("id", F.round("lcc", 8).alias("lcc"))
-
-
-def _q_transitivity(spark, sf_dir):
+def _q_triangle_stats(spark, sf_dir):
+    """Scalar triangle family in one row: global count, transitivity,
+    average clustering (apps/clustering/{transitivity,avg_clustering}.h)."""
     g = part_graph(spark, sf_dir)
     und = (
         g.symmetrized_edges()
@@ -152,16 +148,16 @@ def _q_transitivity(spark, sf_dir):
     )
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
     wedges = deg.agg(F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("w"))
-    tri = triangle_corners(g).agg(F.count("*").alias("t"))
-    return tri.crossJoin(wedges).select(
-        F.round(3.0 * F.col("t") / F.col("w"), 8).alias("transitivity")
+    tri = triangle_corners(g).agg(F.count("*").alias("n_triangles"))
+    avg = lcc(g).agg(F.round(F.avg("lcc"), 8).alias("avg_clustering"))
+    return (
+        tri.crossJoin(wedges).crossJoin(avg)
+        .select(
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(3.0 * F.col("n_triangles") / F.col("w"), 8).alias("transitivity"),
+            "avg_clustering",
+        )
     )
-
-
-def _q_avg_clustering(spark, sf_dir):
-    """Average clustering coefficient (apps/clustering/avg_clustering.h)."""
-    g = part_graph(spark, sf_dir)
-    return lcc(g).agg(F.round(F.avg("lcc"), 8).alias("avg_clustering"))
 
 
 def _assert_unroll(res, budget: int, name: str) -> None:
@@ -177,23 +173,45 @@ def _assert_unroll(res, budget: int, name: str) -> None:
 
 
 def _q_bfs(spark, sf_dir):
-    """BFS levels from the min vertex id, undirected view."""
+    """BFS levels (every vertex, -1 unreached) AND the deterministic
+    min-parent BFS tree from the min vertex id, undirected view — one
+    gate driving both bfs() and bfs_tree() (bfs_generic.h:125-155
+    predecessors output)."""
+    from linkgraph.algos.traversal import bfs_tree
+
     g = part_graph(spark, sf_dir)
-    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
-    res = bfs(g, source=int(source), directed=False)
+    source = int(g.deduced_vertices().agg(F.min("id")).collect()[0][0])
+    res = bfs(g, source=source, directed=False)
     _assert_unroll(res, BFS_LAYERS, "bfs")
-    return res.state.select("id", "level")
+    rest = bfs_tree(g, source=source, directed=False)
+    _assert_unroll(rest, BFS_LAYERS, "bfs_tree")
+    par = rest.state.select("id", F.coalesce("parent", F.col("id")).alias("parent"))
+    return (
+        res.state.select("id", "level")
+        .join(par, "id", "left")
+        .select("id", F.coalesce("parent", F.col("id")).alias("parent"), "level")
+    )
 
 
 def _q_sssp(spark, sf_dir):
     """Weighted SSSP from the min vertex id over the undirected
-    co-occurrence graph (weight = shared-order count)."""
+    co-occurrence graph — TWO engine paths in one gate: the frontier
+    relaxation (sssp(), column dist_bf) and the deterministic
+    predecessor-tracking tree (sssp_path(), columns pred/dist,
+    apps/sssp/sssp_path.h semantics); the oracle emits the same
+    distance through both recurrences."""
+    from linkgraph.algos.paths import sssp_path
+
     edges = part_edges(spark, sf_dir)
     g = Graph.from_edges(edges, directed=False, weight_col="weight")
-    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
-    res = sssp(g, source=int(source), weight_col="weight", directed=False)
+    source = int(g.deduced_vertices().agg(F.min("id")).collect()[0][0])
+    res = sssp(g, source=source, weight_col="weight", directed=False)
     _assert_unroll(res, BFS_LAYERS, "sssp")
-    return res.state.select("id", F.round("dist", 8).alias("dist"))
+    resp = sssp_path(g, source=source, weight_col="weight", directed=False)
+    _assert_unroll(resp, BFS_LAYERS, "sssp_path")
+    return resp.state.select("id", "pred", F.round("dist", 8).alias("dist")).join(
+        res.state.select("id", F.round("dist", 8).alias("dist_bf")), "id"
+    )
 
 
 def _q_hits(spark, sf_dir):
@@ -204,10 +222,21 @@ def _q_hits(spark, sf_dir):
     )
 
 
-def _q_kcore(spark, sf_dir):
-    res = kcore(part_graph(spark, sf_dir), k=KCORE_K)
-    _assert_unroll(res, KCORE_LAYERS, "kcore")
-    return res.state.select("id", "in_core")
+def _q_kshell(spark, sf_dir):
+    """Core (shell) number for EVERY vertex via the iterated H-index
+    fixpoint (apps/kshell/kshell.h output) AND the k=KCORE_K core
+    membership through the independent degree-prune kcore() path —
+    one gate, two engine code paths."""
+    from linkgraph.algos.cores import kshell
+
+    g = part_graph(spark, sf_dir)
+    res = kshell(g)
+    _assert_unroll(res, KSHELL_LAYERS, "kshell")
+    resc = kcore(g, k=KCORE_K)
+    _assert_unroll(resc, KCORE_LAYERS, "kcore")
+    return res.state.select("id", "shell").join(
+        resc.state.select("id", "in_core"), "id"
+    )
 
 
 def _q_eigenvector(spark, sf_dir):
@@ -231,17 +260,21 @@ def _min_sources(g, k):
 
 
 def _q_closeness(spark, sf_dir):
-    """Closeness (Wasserman-Faust) of the K min-id vertices over the
-    undirected view — the reference computes it per-vertex via reverse
-    BFS (closeness_centrality.h); the source cap is the sampled mode."""
-    from linkgraph.algos.paths import closeness_centrality
+    """Closeness (Wasserman-Faust, closeness_centrality.h) AND
+    harmonic centrality (flash/centrality/harmonic.h:72-85) of the
+    same K min-id source set — both are aggregates of one
+    multi-source BFS, so they share an oracle distance chain."""
+    from linkgraph.algos.paths import closeness_centrality, harmonic_centrality
 
     g = part_graph(spark, sf_dir)
-    res = closeness_centrality(
-        g, sources=_min_sources(g, CLOSENESS_SOURCES), directed=False, wf_improved=True
-    )
+    srcs = _min_sources(g, CLOSENESS_SOURCES)
+    res = closeness_centrality(g, sources=srcs, directed=False, wf_improved=True)
     _assert_unroll(res, MSBFS_LAYERS, "closeness")
-    return res.state.select("id", F.round("closeness", 8).alias("closeness"))
+    resh = harmonic_centrality(g, sources=srcs, directed=False)
+    _assert_unroll(resh, MSBFS_LAYERS, "harmonic")
+    return res.state.select("id", F.round("closeness", 8).alias("closeness")).join(
+        resh.state.select("id", F.round("harmonic", 8).alias("harmonic")), "id"
+    )
 
 
 def _q_apsp(spark, sf_dir):
@@ -257,32 +290,31 @@ def _q_apsp(spark, sf_dir):
     return res.state.select("src", "dst", "dist")
 
 
-def _q_sssp_path(spark, sf_dir):
-    """Shortest-path tree (id, pred, dist) from the min vertex id over
-    the weighted undirected graph (apps/sssp/sssp_path.h semantics,
-    deterministic min-(dist,pred) tie-break)."""
-    from linkgraph.algos.paths import sssp_path
-
-    edges = part_edges(spark, sf_dir)
-    g = Graph.from_edges(edges, directed=False, weight_col="weight")
-    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
-    res = sssp_path(g, source=int(source), weight_col="weight", directed=False)
-    _assert_unroll(res, BFS_LAYERS, "sssp_path")
-    return res.state.select("id", "pred", F.round("dist", 8).alias("dist"))
-
-
 def _q_avg_length(spark, sf_dir):
-    """Sampled average shortest-path length (K min-id sources,
-    unweighted undirected) — apps/sssp/sssp_average_length.h."""
-    from linkgraph.algos.paths import multi_source_bfs
+    """Sampled average shortest-path length, UNWEIGHTED (64 min-id
+    sources) and WEIGHTED (16 min-id sources) in one two-column row —
+    both modes of apps/sssp/sssp_average_length.h."""
+    from linkgraph.algos.paths import multi_source_bfs, multi_source_sssp
 
     g = part_graph(spark, sf_dir)
     res = multi_source_bfs(g, sources=_min_sources(g, AVGLEN_SOURCES), directed=False)
     _assert_unroll(res, MSBFS_LAYERS, "sssp_avg_length")
-    return (
+    uw = (
         res.state.where(F.col("dist") > 0)
         .agg(F.round(F.sum("dist") / F.count("*"), 8).alias("avg_length"))
     )
+    edges = part_edges(spark, sf_dir)
+    gw = Graph.from_edges(edges, directed=False, weight_col="weight")
+    resw = multi_source_sssp(
+        gw, sources=_min_sources(gw, AVGLEN_W_SOURCES),
+        weight_col="weight", directed=False,
+    )
+    _assert_unroll(resw, AVGLEN_W_LAYERS, "sssp_avg_length_w")
+    w = (
+        resw.state.where(F.col("dist") > 0)
+        .agg(F.round(F.sum("dist") / F.count("*"), 8).alias("avg_length_w"))
+    )
+    return uw.crossJoin(w)
 
 
 def _q_betweenness(spark, sf_dir):
@@ -296,18 +328,6 @@ def _q_betweenness(spark, sf_dir):
     )
     _assert_unroll(res, 2 * BETW_LAYERS + 1, "betweenness")
     return res.state.select("id", F.round("betweenness", 8).alias("betweenness"))
-
-
-def _q_louvain(spark, sf_dir):
-    """Louvain phase-1 local moves (fixed rounds, deterministic
-    parity-guarded argmax — apps/pregel/louvain/louvain.h:229-314) on
-    the weighted co-occurrence graph."""
-    from linkgraph.algos.louvain import louvain_phase1
-
-    edges = part_edges(spark, sf_dir)
-    g = Graph.from_edges(edges, directed=True, weight_col="weight")
-    res = louvain_phase1(g, max_round=LOUVAIN_ROUNDS)
-    return res.state.select("id", "community")
 
 
 def _q_louvain_full(spark, sf_dir):
@@ -389,38 +409,27 @@ def _q_bcc(spark, sf_dir):
     return biconnectivity(_thinned_graph(spark, sf_dir)).bcc
 
 
-def _q_mis(spark, sf_dir):
-    """Maximal independent set (flash/matching/mis.h:47-82) on the
-    thinned graph (the dense full graph converges in the same way but
-    the thinned gate also exercises multi-round selection)."""
-    from linkgraph.algos.matching import mis
+def _q_matching_family(spark, sf_dir):
+    """The greedy matching family on the shared thinned graph in one
+    per-vertex frame: maximal independent set
+    (flash/matching/mis.h:47-82), maximal matching (mm.h:48-75,
+    mutual-max-id pairing — run on the SPARSE thinned set where it
+    takes ~10 rounds like the reference's test graphs), and greedy
+    minimal dominating set (min-dominating-set.h:50-96)."""
+    from linkgraph.algos.matching import maximal_matching, min_dominating_set, mis
 
-    res = mis(_thinned_graph(spark, sf_dir))
-    _assert_unroll(res, MIS_UNROLL, "mis")
-    return res.state.select("id", "in_mis")
-
-
-def _q_maximal_matching(spark, sf_dir):
-    """Maximal matching (flash/matching/mm.h:48-75), thinned graph —
-    mutual-max-id pairing needs O(V) rounds on a DENSE graph (every
-    vertex courts the same global max), so the gate runs the sparse
-    thinned set where it takes ~10 rounds, like the reference's
-    sparse test graphs."""
-    from linkgraph.algos.matching import maximal_matching
-
-    res = maximal_matching(_thinned_graph(spark, sf_dir))
-    _assert_unroll(res, MM_UNROLL, "maximal_matching")
-    return res.state.select("id", "match")
-
-
-def _q_min_dominating_set(spark, sf_dir):
-    """Greedy minimal dominating set
-    (flash/matching/min-dominating-set.h:50-96), thinned graph."""
-    from linkgraph.algos.matching import min_dominating_set
-
-    res = min_dominating_set(_thinned_graph(spark, sf_dir))
-    _assert_unroll(res, MDS_UNROLL, "min_dominating_set")
-    return res.state.select("id", "in_mds")
+    g = _thinned_graph(spark, sf_dir)
+    r1 = mis(g)
+    _assert_unroll(r1, MIS_UNROLL, "mis")
+    r2 = maximal_matching(g)
+    _assert_unroll(r2, MM_UNROLL, "maximal_matching")
+    r3 = min_dominating_set(g)
+    _assert_unroll(r3, MDS_UNROLL, "min_dominating_set")
+    return (
+        r1.state.select("id", "in_mis")
+        .join(r2.state.select("id", "match"), "id")
+        .join(r3.state.select("id", "in_mds"), "id")
+    )
 
 
 def _q_msf(spark, sf_dir):
@@ -436,20 +445,6 @@ def _q_msf(spark, sf_dir):
     g = Graph.from_edges(th, directed=False, weight_col="weight")
     res = msf(g, weight_col="weight")
     return res.state.agg(F.round(F.sum("weight"), 8).alias("msf_weight"))
-
-
-def _q_harmonic(spark, sf_dir):
-    """Harmonic centrality of the K min-id vertices
-    (flash/centrality/harmonic.h:72-85, deterministic source set
-    instead of the reference's time-seeded sample)."""
-    from linkgraph.algos.paths import harmonic_centrality
-
-    g = part_graph(spark, sf_dir)
-    res = harmonic_centrality(
-        g, sources=_min_sources(g, HARMONIC_SOURCES), directed=False
-    )
-    _assert_unroll(res, MSBFS_LAYERS, "harmonic")
-    return res.state.select("id", F.round("harmonic", 8).alias("harmonic"))
 
 
 def _q_diameter(spark, sf_dir):
@@ -485,42 +480,6 @@ def _q_articlerank(spark, sf_dir):
     return res.state.select("id", F.round("rank", 8).alias("rank"))
 
 
-def _q_bfs_tree(spark, sf_dir):
-    """BFS tree (id, parent, level) from the min vertex id, undirected
-    view — bfs_generic.h:125-155 predecessors output, deterministic
-    min-parent tie-break."""
-    from linkgraph.algos.traversal import bfs_tree
-
-    g = part_graph(spark, sf_dir)
-    source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
-    res = bfs_tree(g, source=int(source), directed=False)
-    _assert_unroll(res, BFS_LAYERS, "bfs_tree")
-    # root-as-own-parent (dfs convention): NULL would hash as NaN and
-    # NaN != NaN breaks the driver's order-insensitive compare
-    return res.state.select(
-        "id", F.coalesce("parent", F.col("id")).alias("parent"), "level"
-    )
-
-
-def _q_avg_length_weighted(spark, sf_dir):
-    """WEIGHTED sampled average shortest-path length (K min-id
-    sources) — the weighted mode of apps/sssp/sssp_average_length.h,
-    via the multi-source pair-frame relaxation."""
-    from linkgraph.algos.paths import multi_source_sssp
-
-    edges = part_edges(spark, sf_dir)
-    g = Graph.from_edges(edges, directed=False, weight_col="weight")
-    res = multi_source_sssp(
-        g, sources=_min_sources(g, AVGLEN_W_SOURCES),
-        weight_col="weight", directed=False,
-    )
-    _assert_unroll(res, AVGLEN_W_LAYERS, "sssp_avg_length_w")
-    return (
-        res.state.where(F.col("dist") > 0)
-        .agg(F.round(F.sum("dist") / F.count("*"), 8).alias("avg_length"))
-    )
-
-
 def _q_clustering_directed(spark, sf_dir):
     """Fagiolo directed clustering coefficient on the directed
     co-occurrence edge set (apps/clustering/clustering.h:258-267)."""
@@ -532,25 +491,24 @@ def _q_clustering_directed(spark, sf_dir):
     )
 
 
-def _q_degree_assortativity(spark, sf_dir):
-    """Degree assortativity (Pearson over edge endpoint degrees),
-    undirected view — apps/assortativity/degree_assortativity_coefficient.h."""
-    from linkgraph.algos.structure import degree_assortativity
+def _q_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson over edge endpoint degrees,
+    undirected view — apps/assortativity/degree_assortativity_coefficient.h)
+    and categorical attribute assortativity with cat = id % ATTR_CATS
+    (attribute_assortativity.h), one two-column scalar row."""
+    from linkgraph.algos.structure import (
+        attribute_assortativity,
+        degree_assortativity,
+    )
 
     g = part_graph(spark, sf_dir)
     r = degree_assortativity(g, directed=False)
-    return spark.createDataFrame([(round(r, 8),)], "assortativity double")
-
-
-def _q_attr_assortativity(spark, sf_dir):
-    """Categorical attribute assortativity with cat = id % ATTR_CATS
-    (apps/assortativity/attribute_assortativity.h)."""
-    from linkgraph.algos.structure import attribute_assortativity
-
-    g = part_graph(spark, sf_dir)
     attr = g.deduced_vertices().select("id", (F.col("id") % ATTR_CATS).alias("cat"))
-    r = attribute_assortativity(g, attr)
-    return spark.createDataFrame([(round(r, 8),)], "assortativity double")
+    r2 = attribute_assortativity(g, attr)
+    return spark.createDataFrame(
+        [(round(r, 8), round(r2, 8))],
+        "degree_assortativity double, attr_assortativity double",
+    )
 
 
 def _q_avg_degree_connectivity(spark, sf_dir):
@@ -564,33 +522,26 @@ def _q_avg_degree_connectivity(spark, sf_dir):
     )
 
 
-def _q_node_boundary(spark, sf_dir):
-    """Node boundary of the K min-id vertex set on the directed edge
-    set (apps/boundary/node_boundary.h:72-86)."""
-    from linkgraph.algos.structure import node_boundary
+def _q_boundary(spark, sf_dir):
+    """Edge boundary of the K min-id vertex set (edge_boundary.h) with
+    the node boundary (node_boundary.h:72-86) verified alongside:
+    dst_in_nb flags membership of each boundary edge's dst in
+    node_boundary()'s output (node boundary = distinct dsts of the
+    edge boundary, so the oracle emits TRUE), and n_node_boundary is
+    its size (catching extra rows the flag alone would miss)."""
+    from linkgraph.algos.structure import edge_boundary, node_boundary
 
     g = part_graph(spark, sf_dir)
-    return node_boundary(g, _min_sources(g, BOUNDARY_SOURCES)).select("id")
-
-
-def _q_edge_boundary(spark, sf_dir):
-    """Edge boundary of the K min-id vertex set (edge_boundary.h)."""
-    from linkgraph.algos.structure import edge_boundary
-
-    g = part_graph(spark, sf_dir)
-    return edge_boundary(g, _min_sources(g, BOUNDARY_SOURCES)).select("src", "dst")
-
-
-def _q_kshell(spark, sf_dir):
-    """Core (shell) number for EVERY vertex via the iterated H-index
-    fixpoint — same output as apps/kshell/kshell.h's peel, in
-    O(rounds) supersteps."""
-    from linkgraph.algos.cores import kshell
-
-    g = part_graph(spark, sf_dir)
-    res = kshell(g)
-    _assert_unroll(res, KSHELL_LAYERS, "kshell")
-    return res.state.select("id", "shell")
+    srcs = _min_sources(g, BOUNDARY_SOURCES)
+    eb = edge_boundary(g, srcs).select("src", "dst")
+    nb = node_boundary(g, srcs).select("id")
+    nb_flag = nb.select(F.col("id").alias("dst"), F.lit(True).alias("dst_in_nb"))
+    nb_n = nb.agg(F.count("*").alias("n_node_boundary"))
+    return (
+        eb.join(nb_flag, "dst", "left")
+        .select("src", "dst", F.coalesce("dst_in_nb", F.lit(False)).alias("dst_in_nb"))
+        .crossJoin(nb_n)
+    )
 
 
 def _q_voterank(spark, sf_dir):
@@ -640,26 +591,21 @@ def _q_sampling_path(spark, sf_dir):
     )
 
 
-def _q_is_simple_path(spark, sf_dir):
-    """Simple-path predicate on the three smallest vertex ids
-    (apps/simple_path/is_simple_path.h), undirected view."""
-    from linkgraph.algos.pathenum import is_simple_path
+def _q_simple_paths(spark, sf_dir):
+    """All simple paths between the two smallest vertex ids with
+    cutoff 3 (apps/simple_path/all_simple_paths.h), undirected, plus
+    the is_simple_path.h predicate on the three smallest ids as a
+    constant column — one gate for the simple-path family."""
+    from linkgraph.algos.pathenum import all_simple_paths, is_simple_path
 
     g = part_graph(spark, sf_dir)
     ids = [r["id"] for r in g.deduced_vertices().orderBy("id").limit(3).collect()]
     ok = is_simple_path(g, ids, directed=False)
-    return spark.createDataFrame([(bool(ok),)], "is_path boolean")
-
-
-def _q_all_simple_paths(spark, sf_dir):
-    """All simple paths between the two smallest vertex ids with
-    cutoff 3 (apps/simple_path/all_simple_paths.h), undirected."""
-    from linkgraph.algos.pathenum import all_simple_paths
-
-    g = part_graph(spark, sf_dir)
-    ids = [r["id"] for r in g.deduced_vertices().orderBy("id").limit(2).collect()]
     out = all_simple_paths(g, ids[0], ids[1], cutoff=ASP_CUTOFF, directed=False)
-    return out.select(F.concat_ws("-", F.col("path").cast("array<string>")).alias("path"))
+    return out.select(
+        F.concat_ws("-", F.col("path").cast("array<string>")).alias("path"),
+        F.lit(bool(ok)).alias("probe_is_path"),
+    )
 
 
 def _q_dfs(spark, sf_dir):
@@ -706,6 +652,16 @@ def _q_dfs(spark, sf_dir):
     return summary
 
 
+def _q_doc_features(spark, sf_dir):
+    """Text-analysis family in one per-document frame: whitespace
+    token count, heuristic quality score, and marker-based language id
+    (pipeline.py token_count / quality_score / lang_id)."""
+    tc = pl.token_count(spark, sf_dir)
+    qs = pl.quality_score(spark, sf_dir)
+    li = pl.lang_id(spark, sf_dir)
+    return tc.join(qs, "doc_id").join(li, "doc_id")
+
+
 def _q_blob_stats(spark, sf_dir):
     """Multimodal path: binary blob column → Arrow-batched mapInPandas
     kernel (linkgraph/multimodal.py); sha256 is the per-row invariant."""
@@ -715,73 +671,69 @@ def _q_blob_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """≤50 entries by design: the round-3 driver capped its oracle run
+    at the first 50 registry keys, so sibling operators that share a
+    frame are consolidated into multi-column gates (each gate still
+    drives every underlying engine code path) and every family —
+    including the 13 training-data pipeline ops — sits inside the
+    checked window. Functions folded into a sibling gate: pagerank_csr
+    → pagerank, lcc/triangle_count/transitivity/avg_clustering →
+    triangles/triangle_stats, bfs_tree → bfs, sssp_path → sssp, kcore
+    → kshell, harmonic → closeness, sssp_avg_length_w →
+    sssp_avg_length, louvain ⊂ louvain_full, mis/maximal_matching/
+    min_dominating_set → matching_family, degree/attr assortativity →
+    assortativity, node/edge boundary → boundary, is_simple_path/
+    all_simple_paths → simple_paths, doc_sha ⊂ blob_stats,
+    token_count/quality_score/lang_id → doc_features, lsh_candidates
+    ⊂ minhash_signatures + dedup_clusters."""
     return {
         # graph ETL + flagship algorithms (SURVEY.md §2.2)
         "part_edges": _q_part_edges,
         "degree_centrality": _q_degree_centrality,
         "pagerank": _q_pagerank,
-        "pagerank_csr": _q_pagerank_csr,
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
         "triangles": _q_triangles,
-        "triangle_count": _q_triangle_count,
-        "lcc": _q_lcc,
-        "transitivity": _q_transitivity,
-        "avg_clustering": _q_avg_clustering,
+        "triangle_stats": _q_triangle_stats,
         "bfs": _q_bfs,
         "sssp": _q_sssp,
         "hits": _q_hits,
-        "kcore": _q_kcore,
+        "kshell": _q_kshell,
         "eigenvector": _q_eigenvector,
         "katz": _q_katz,
         "closeness": _q_closeness,
         "apsp": _q_apsp,
-        "sssp_path": _q_sssp_path,
         "sssp_avg_length": _q_avg_length,
         "betweenness": _q_betweenness,
-        "louvain": _q_louvain,
         "louvain_full": _q_louvain_full,
         "scc": _q_scc,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation,
         "bcc": _q_bcc,
-        "mis": _q_mis,
-        "maximal_matching": _q_maximal_matching,
-        "min_dominating_set": _q_min_dominating_set,
+        "matching_family": _q_matching_family,
         "msf": _q_msf,
-        "harmonic": _q_harmonic,
         "diameter_approx": _q_diameter,
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
-        "bfs_tree": _q_bfs_tree,
-        "sssp_avg_length_w": _q_avg_length_weighted,
-        "kshell": _q_kshell,
         "clustering_directed": _q_clustering_directed,
-        "degree_assortativity": _q_degree_assortativity,
-        "attr_assortativity": _q_attr_assortativity,
+        "assortativity": _q_assortativity,
         "avg_degree_connectivity": _q_avg_degree_connectivity,
-        "node_boundary": _q_node_boundary,
-        "edge_boundary": _q_edge_boundary,
+        "boundary": _q_boundary,
         "voterank": _q_voterank,
         "lpa_u2i": _q_lpa_u2i,
         "sampling_path": _q_sampling_path,
-        "is_simple_path": _q_is_simple_path,
-        "all_simple_paths": _q_all_simple_paths,
+        "simple_paths": _q_simple_paths,
         "dfs": _q_dfs,
         # training-data pipeline operators (documents/embeddings)
-        "doc_sha": pl.doc_sha,
+        "blob_stats": _q_blob_stats,
         "dedup_exact": pl.dedup_exact,
-        "token_count": pl.token_count,
-        "quality_score": pl.quality_score,
-        "lang_id": pl.lang_id,
+        "doc_features": _q_doc_features,
         "ngram_jaccard": pl.ngram_jaccard_pairs,
         "minhash_signatures": pl.minhash_signatures,
-        "lsh_candidates": pl.lsh_candidate_pairs,
         "simhash": pl.simhash,
         "embedding_topk": pl.embedding_topk,
         "embedding_ann": pl.embedding_ann,
         "dedup_clusters": pl.dedup_clusters,
-        "blob_stats": _q_blob_stats,
     }
 
 
@@ -812,7 +764,11 @@ def _pagerank_sql(iters: int = PR_ITERS, alpha: float = PR_ALPHA) -> str:
     FROM edges e JOIN r{p} r ON r.id = e.src AND r.deg > 0
     GROUP BY e.dst) m ON m.id = d.id)"""
         )
-    parts.append(f"SELECT id, round(rank, 8) AS rank FROM r{iters}")
+    # rank_csr twins the join-mode column: the gate runs the same
+    # recurrence through both the superstep and the CSR-block engine
+    parts.append(
+        f"SELECT id, round(rank, 8) AS rank, round(rank, 8) AS rank_csr FROM r{iters}"
+    )
     return "\n".join(parts)
 
 
@@ -839,12 +795,10 @@ def _cdlp_sql(rounds: int = CDLP_ROUNDS) -> str:
     return "\n".join(parts)
 
 
-def _bfs_sql(layers: int = BFS_LAYERS) -> str:
-    """Unrolled min-level relaxation (Bellman-Ford with unit weights)
-    over the undirected view; source = min vertex id; unreached = -1."""
-    big = 10**15
+def _bfs_level_chain(layers: int, big: int) -> str:
+    """Shared unrolled min-level relaxation producing CTE d{layers}
+    (undirected view, source = min vertex id, unreached = big)."""
     parts = [
-        f"WITH {PART_EDGES_SQL}",
         f", d0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(id) FROM verts)"
         f" THEN 0 ELSE {big} END AS d FROM verts)",
     ]
@@ -858,15 +812,40 @@ def _bfs_sql(layers: int = BFS_LAYERS) -> str:
     FROM sym s JOIN d{p} r ON r.id = s.src WHERE r.d < {big}
     GROUP BY s.dst) m ON m.id = v.id)"""
         )
-    parts.append(
-        f"SELECT id, CAST(CASE WHEN d >= {big} THEN -1 ELSE d END AS BIGINT)"
-        f" AS level FROM d{layers}"
-    )
     return "\n".join(parts)
 
 
+def _bfs_sql(layers: int = BFS_LAYERS) -> str:
+    """BFS levels via unrolled min-level relaxation (every vertex,
+    unreached = -1) PLUS the deterministic BFS tree: parent(v) =
+    min u with level(u)+1 = level(v) and {u,v} an edge; root and
+    unreached vertices are their own parent (matching the gate's
+    NULL-coalesce)."""
+    big = 10**15
+    return (
+        f"WITH {PART_EDGES_SQL}"
+        + _bfs_level_chain(layers, big)
+        + f"""
+, lv AS MATERIALIZED (
+  SELECT id, CAST(d AS BIGINT) AS level FROM d{layers} WHERE d < {big})
+, par AS (
+  SELECT s.dst AS id, min(s.src) AS parent
+  FROM sym s JOIN lv a ON a.id = s.src JOIN lv b ON b.id = s.dst
+  WHERE a.level + 1 = b.level
+  GROUP BY s.dst)
+SELECT v.id, coalesce(p.parent, v.id) AS parent,
+       coalesce(l.level, -1) AS level
+FROM verts v LEFT JOIN lv l ON l.id = v.id LEFT JOIN par p ON p.id = v.id"""
+    )
+
+
 def _sssp_sql(layers: int = BFS_LAYERS) -> str:
-    """Unrolled Bellman-Ford over the undirected weighted edge set."""
+    """Two independent recurrences over one weighted undirected edge
+    set: the plain unrolled Bellman-Ford (column dist_bf) and the
+    frontier-style relaxation with deterministic min-(dist, pred)
+    predecessor tracking (columns pred/dist) — twinning the gate's two
+    engine paths (sssp() and sssp_path())."""
+    big = 1e18
     parts = [
         f"WITH {PART_EDGES_SQL}",
         ", symw AS MATERIALIZED (SELECT src, dst, weight FROM edges"
@@ -885,8 +864,31 @@ def _sssp_sql(layers: int = BFS_LAYERS) -> str:
     GROUP BY e.dst) m ON m.id = v.id)"""
         )
     parts.append(
-        f"SELECT id, round(CASE WHEN isfinite(d) THEN d ELSE -1.0 END, 8)"
-        f" AS dist FROM s{layers}"
+        f""", t0 AS MATERIALIZED (SELECT id,
+    CASE WHEN id = (SELECT min(id) FROM verts) THEN 0.0 ELSE {big} END AS d,
+    CASE WHEN id = (SELECT min(id) FROM verts) THEN id ELSE NULL END AS pred,
+    id = (SELECT min(id) FROM verts) AS chg
+  FROM verts)"""
+    )
+    for kk in range(1, layers + 1):
+        p = kk - 1
+        parts.append(
+            f""", c{kk} AS MATERIALIZED (
+  SELECT id, cd, pp FROM (
+    SELECT e.dst AS id, r.d + e.weight AS cd, e.src AS pp,
+           row_number() OVER (PARTITION BY e.dst ORDER BY r.d + e.weight, e.src) AS rn
+    FROM symw e JOIN t{p} r ON r.id = e.src AND r.chg)
+  WHERE rn = 1)
+, t{kk} AS MATERIALIZED (
+  SELECT t.id,
+    CASE WHEN c.cd < t.d THEN c.cd ELSE t.d END AS d,
+    CASE WHEN c.cd < t.d THEN c.pp ELSE t.pred END AS pred,
+    coalesce(c.cd < t.d, FALSE) AS chg
+  FROM t{p} t LEFT JOIN c{kk} c ON c.id = t.id)"""
+        )
+    parts.append(
+        f"""SELECT t.id, t.pred, round(t.d, 8) AS dist, round(s.d, 8) AS dist_bf
+FROM t{layers} t JOIN s{layers} s ON s.id = t.id WHERE t.d < {big} / 2"""
     )
     return "\n".join(parts)
 
@@ -923,11 +925,11 @@ def _hits_sql(iters: int = HITS_ITERS) -> str:
     return "\n".join(parts)
 
 
-def _kcore_sql(k: int = KCORE_K, layers: int = KCORE_LAYERS) -> str:
-    """Unrolled degree-prune: survivors_i = vertices with degree ≥ k
-    in the subgraph induced on survivors_{i-1}."""
+def _kcore_chain(k: int = KCORE_K, layers: int = KCORE_LAYERS) -> str:
+    """Unrolled degree-prune producing CTE v{layers}: survivors_i =
+    vertices with degree ≥ k in the subgraph induced on
+    survivors_{i-1}."""
     parts = [
-        f"WITH {PART_EDGES_SQL}",
         ", v0 AS MATERIALIZED (SELECT id FROM verts)",
         ", e0 AS MATERIALIZED (SELECT src, dst FROM sym)",
     ]
@@ -940,10 +942,6 @@ def _kcore_sql(k: int = KCORE_K, layers: int = KCORE_LAYERS) -> str:
   SELECT e.src, e.dst FROM e{p} e
   JOIN v{i} a ON a.id = e.src JOIN v{i} b ON b.id = e.dst)"""
         )
-    parts.append(
-        f"SELECT v.id, (m.id IS NOT NULL) AS in_core FROM verts v"
-        f" LEFT JOIN v{layers} m ON m.id = v.id"
-    )
     return "\n".join(parts)
 
 
@@ -1016,16 +1014,22 @@ def _msbfs_layers(n_sources: int, layers: int = MSBFS_LAYERS) -> str:
 
 
 def _closeness_sql(k: int = CLOSENESS_SOURCES, layers: int = MSBFS_LAYERS) -> str:
+    """Closeness (Wasserman-Faust) AND harmonic centrality of the same
+    K min-id sources — two aggregates of one unrolled multi-source BFS
+    distance chain, twinning the gate's two engine runs."""
     return (
         f"WITH {PART_EDGES_SQL}"
         + _msbfs_layers(k, layers)
         + f"""
-, agg AS (SELECT s, count(*) AS reached, sum(d) AS tot FROM r{layers} GROUP BY s)
+, agg AS (SELECT s, count(*) AS reached, sum(d) AS tot,
+          sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END) AS harm
+          FROM r{layers} GROUP BY s)
 , nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)
 SELECT s AS id,
        round(CASE WHEN tot > 0 AND (SELECT n FROM nn) > 1
              THEN (reached - 1.0) / tot * (reached - 1.0) / ((SELECT n FROM nn) - 1.0)
-             ELSE 0.0 END, 8) AS closeness
+             ELSE 0.0 END, 8) AS closeness,
+       round(harm, 8) AS harmonic
 FROM agg"""
     )
 
@@ -1038,50 +1042,41 @@ def _apsp_sql(k: int = APSP_SOURCES, layers: int = MSBFS_LAYERS) -> str:
     )
 
 
-def _avg_length_sql(k: int = AVGLEN_SOURCES, layers: int = MSBFS_LAYERS) -> str:
-    return (
-        f"WITH {PART_EDGES_SQL}"
-        + _msbfs_layers(k, layers)
-        + f"""
-SELECT round(CAST(sum(d) AS DOUBLE) / count(*), 8) AS avg_length
-FROM r{layers} WHERE d > 0"""
-    )
-
-
-def _sssp_path_sql(layers: int = BFS_LAYERS) -> str:
-    """Unrolled Bellman-Ford with deterministic predecessor tracking:
-    per round, candidates come ONLY from vertices changed in the
-    previous round (mirroring the Spark frontier), the per-target
-    winner is min (cand_dist, pred), and updates are strict (<)."""
-    big = 1e18
+def _avg_length_sql(
+    k: int = AVGLEN_SOURCES,
+    layers: int = MSBFS_LAYERS,
+    kw: int = AVGLEN_W_SOURCES,
+    wlayers: int = AVGLEN_W_LAYERS,
+) -> str:
+    """Sampled average shortest-path length, unweighted (k min-id
+    sources, BFS pair chain) and weighted (kw min-id sources,
+    relaxation pair chain) — one two-column scalar row twinning the
+    gate's two engine runs."""
     parts = [
         f"WITH {PART_EDGES_SQL}",
+        _msbfs_layers(k, layers),
         ", symw AS MATERIALIZED (SELECT src, dst, weight FROM edges"
         " UNION SELECT dst AS src, src AS dst, weight FROM edges)",
-        f""", t0 AS MATERIALIZED (SELECT id,
-    CASE WHEN id = (SELECT min(id) FROM verts) THEN 0.0 ELSE {big} END AS d,
-    CASE WHEN id = (SELECT min(id) FROM verts) THEN id ELSE NULL END AS pred,
-    id = (SELECT min(id) FROM verts) AS chg
-  FROM verts)""",
+        f", wsrcs AS MATERIALIZED (SELECT id AS s FROM verts ORDER BY id LIMIT {kw})",
+        ", w0 AS MATERIALIZED (SELECT s, s AS id, 0.0 AS d FROM wsrcs)",
     ]
-    for kk in range(1, layers + 1):
-        p = kk - 1
+    for i in range(1, wlayers + 1):
+        p = i - 1
         parts.append(
-            f""", c{kk} AS MATERIALIZED (
-  SELECT id, cd, pp FROM (
-    SELECT e.dst AS id, r.d + e.weight AS cd, e.src AS pp,
-           row_number() OVER (PARTITION BY e.dst ORDER BY r.d + e.weight, e.src) AS rn
-    FROM symw e JOIN t{p} r ON r.id = e.src AND r.chg)
-  WHERE rn = 1)
-, t{kk} AS MATERIALIZED (
-  SELECT t.id,
-    CASE WHEN c.cd < t.d THEN c.cd ELSE t.d END AS d,
-    CASE WHEN c.cd < t.d THEN c.pp ELSE t.pred END AS pred,
-    coalesce(c.cd < t.d, FALSE) AS chg
-  FROM t{p} t LEFT JOIN c{kk} c ON c.id = t.id)"""
+            f""", w{i} AS MATERIALIZED (
+  SELECT s, id, min(d) AS d FROM (
+    SELECT s, id, d FROM w{p}
+    UNION ALL
+    SELECT r.s, e.dst AS id, r.d + e.weight AS d
+    FROM symw e JOIN w{p} r ON r.id = e.src
+  ) GROUP BY s, id)"""
         )
     parts.append(
-        f"SELECT id, pred, round(d, 8) AS dist FROM t{layers} WHERE d < {big} / 2"
+        f"""SELECT
+  (SELECT round(CAST(sum(d) AS DOUBLE) / count(*), 8)
+   FROM r{layers} WHERE d > 0) AS avg_length,
+  (SELECT round(sum(d) / count(*), 8)
+   FROM w{wlayers} WHERE d > 0) AS avg_length_w"""
     )
     return "\n".join(parts)
 
@@ -1158,7 +1153,13 @@ def _kshell_sql(layers: int = KSHELL_LAYERS) -> str:
             FROM sym e JOIN h{p} r ON r.id = e.dst GROUP BY e.src, r.h))
     GROUP BY id) x ON x.id = s.id)"""
         )
-    parts.append(f"SELECT id, h AS shell FROM h{layers}")
+    # k=KCORE_K membership through the independent degree-prune chain
+    # (the gate runs kcore() alongside kshell())
+    parts.append(_kcore_chain())
+    parts.append(
+        f"SELECT s.id, s.h AS shell, (m.id IS NOT NULL) AS in_core"
+        f" FROM h{layers} s LEFT JOIN v{KCORE_LAYERS} m ON m.id = s.id"
+    )
     return "\n".join(parts)
 
 
@@ -1424,14 +1425,14 @@ _THIN_SQL = """
 , bsym AS MATERIALIZED (SELECT src, dst FROM bedges UNION SELECT dst, src FROM bedges)"""
 
 
-def _mis_sql(rounds: int = MIS_UNROLL) -> str:
-    """Unrolled greedy MIS (mis.h): per round the active local minima
-    of r = deg·n + id join, their neighbours leave."""
+def _mis_chain(rounds: int = MIS_UNROLL, x: str = "mi") -> str:
+    """Unrolled greedy MIS (mis.h) CTE chain, prefix-namespaced: per
+    round the active local minima of r = deg·n + id join, their
+    neighbours leave. Expects bverts/bsym/bdeg in scope; produces
+    {x}a{rounds} with columns (id, r, active, sel)."""
     parts = [
-        f"WITH {PART_EDGES_SQL}{_THIN_SQL}",
-        ", bdeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM bsym GROUP BY src)",
         ", bn AS (SELECT count(*) AS n FROM bverts)",
-        ", a0 AS MATERIALIZED (SELECT v.id,"
+        f", {x}a0 AS MATERIALIZED (SELECT v.id,"
         " coalesce(d.d, 0) * (SELECT n FROM bn) + v.id AS r,"
         " TRUE AS active, FALSE AS sel"
         " FROM bverts v LEFT JOIN bdeg d ON d.id = v.id)",
@@ -1439,107 +1440,126 @@ def _mis_sql(rounds: int = MIS_UNROLL) -> str:
     for k in range(1, rounds + 1):
         p = k - 1
         parts.append(
-            f""", n{k} AS MATERIALIZED (
+            f""", {x}n{k} AS MATERIALIZED (
   SELECT e.dst AS id, min(s.r) AS nm
-  FROM bsym e JOIN a{p} s ON s.id = e.src AND s.active
-  JOIN a{p} t ON t.id = e.dst AND t.active
+  FROM bsym e JOIN {x}a{p} s ON s.id = e.src AND s.active
+  JOIN {x}a{p} t ON t.id = e.dst AND t.active
   GROUP BY e.dst)
-, s{k} AS MATERIALIZED (
-  SELECT a.id FROM a{p} a LEFT JOIN n{k} m ON m.id = a.id
+, {x}s{k} AS MATERIALIZED (
+  SELECT a.id FROM {x}a{p} a LEFT JOIN {x}n{k} m ON m.id = a.id
   WHERE a.active AND (m.nm IS NULL OR a.r < m.nm))
-, d{k} AS MATERIALIZED (
-  SELECT DISTINCT e.dst AS id FROM bsym e JOIN s{k} s ON s.id = e.src)
-, a{k} AS MATERIALIZED (
+, {x}d{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM bsym e JOIN {x}s{k} s ON s.id = e.src)
+, {x}a{k} AS MATERIALIZED (
   SELECT a.id, a.r,
          a.active AND s.id IS NULL AND d.id IS NULL AS active,
          a.sel OR s.id IS NOT NULL AS sel
-  FROM a{p} a LEFT JOIN s{k} s ON s.id = a.id LEFT JOIN d{k} d ON d.id = a.id)"""
+  FROM {x}a{p} a LEFT JOIN {x}s{k} s ON s.id = a.id LEFT JOIN {x}d{k} d ON d.id = a.id)"""
         )
-    parts.append(f"SELECT id, sel AS in_mis FROM a{rounds}")
     return "\n".join(parts)
 
 
-def _mm_sql(rounds: int = MM_UNROLL) -> str:
-    """Unrolled maximal matching (mm.h): mutual-max-id active pairs
-    match each round."""
+def _mm_chain(rounds: int = MM_UNROLL, x: str = "mm") -> str:
+    """Unrolled maximal matching (mm.h) CTE chain, prefix-namespaced:
+    mutual-max-id active pairs match each round. Produces {x}a{rounds}
+    with columns (id, match)."""
     parts = [
-        f"WITH {PART_EDGES_SQL}{_THIN_SQL}",
-        ", a0 AS MATERIALIZED (SELECT id, CAST(NULL AS BIGINT) AS match FROM bverts)",
+        f", {x}a0 AS MATERIALIZED (SELECT id, CAST(NULL AS BIGINT) AS match FROM bverts)",
     ]
     for k in range(1, rounds + 1):
         p = k - 1
         parts.append(
-            f""", p{k} AS MATERIALIZED (
+            f""", {x}p{k} AS MATERIALIZED (
   SELECT e.dst AS id, max(e.src) AS p
-  FROM bsym e JOIN a{p} s ON s.id = e.src AND s.match IS NULL
-  JOIN a{p} t ON t.id = e.dst AND t.match IS NULL
+  FROM bsym e JOIN {x}a{p} s ON s.id = e.src AND s.match IS NULL
+  JOIN {x}a{p} t ON t.id = e.dst AND t.match IS NULL
   GROUP BY e.dst)
-, m{k} AS MATERIALIZED (
-  SELECT x.id AS u, x.p AS v FROM p{k} x JOIN p{k} y ON y.id = x.p AND y.p = x.id
+, {x}m{k} AS MATERIALIZED (
+  SELECT x.id AS u, x.p AS v FROM {x}p{k} x JOIN {x}p{k} y ON y.id = x.p AND y.p = x.id
   WHERE x.id < x.p)
-, a{k} AS MATERIALIZED (
-  SELECT a.id, coalesce(a.match, mm.mat) AS match
-  FROM a{p} a LEFT JOIN (
-    SELECT u AS id, v AS mat FROM m{k} UNION ALL SELECT v, u FROM m{k}) mm
-  ON mm.id = a.id)"""
+, {x}a{k} AS MATERIALIZED (
+  SELECT a.id, coalesce(a.match, mm2.mat) AS match
+  FROM {x}a{p} a LEFT JOIN (
+    SELECT u AS id, v AS mat FROM {x}m{k} UNION ALL SELECT v, u FROM {x}m{k}) mm2
+  ON mm2.id = a.id)"""
         )
-    parts.append(f"SELECT id, coalesce(match, -1) AS match FROM a{rounds}")
     return "\n".join(parts)
 
 
-def _mds_sql(rounds: int = MDS_UNROLL) -> str:
-    """Unrolled greedy dominating set (min-dominating-set.h): two
-    closed-neighbourhood (cnt, id) argmax layers per round (the
-    reference's double `local`), self-argmax vertices join. Priority
-    encoded as cnt·10^12 + id (lexicographic, ids < 10^12)."""
+def _mds_chain(rounds: int = MDS_UNROLL, x: str = "md") -> str:
+    """Unrolled greedy dominating set (min-dominating-set.h) CTE
+    chain, prefix-namespaced: two closed-neighbourhood (cnt, id)
+    argmax layers per round (the reference's double `local`), self-
+    argmax vertices join. Priority encoded as cnt·10^12 + id
+    (lexicographic, ids < 10^12). Produces {x}a{rounds} with columns
+    (id, cnt, active, sel)."""
     B = 10**12
     parts = [
-        f"WITH {PART_EDGES_SQL}{_THIN_SQL}",
-        ", bdeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM bsym GROUP BY src)",
-        ", a0 AS MATERIALIZED (SELECT v.id, coalesce(d.d, 0) AS cnt,"
+        f", {x}a0 AS MATERIALIZED (SELECT v.id, coalesce(d.d, 0) AS cnt,"
         " TRUE AS active, FALSE AS sel"
         " FROM bverts v LEFT JOIN bdeg d ON d.id = v.id)",
     ]
     for k in range(1, rounds + 1):
         p = k - 1
         parts.append(
-            f""", m1_{k} AS MATERIALIZED (
+            f""", {x}m1_{k} AS MATERIALIZED (
   SELECT t.id, max(t.v) AS m FROM (
-    SELECT id, cnt * {B} + id AS v FROM a{p} WHERE active
+    SELECT id, cnt * {B} + id AS v FROM {x}a{p} WHERE active
     UNION ALL
     SELECT e.dst AS id, s.cnt * {B} + s.id AS v
-    FROM bsym e JOIN a{p} s ON s.id = e.src AND s.active
-    JOIN a{p} t2 ON t2.id = e.dst AND t2.active
+    FROM bsym e JOIN {x}a{p} s ON s.id = e.src AND s.active
+    JOIN {x}a{p} t2 ON t2.id = e.dst AND t2.active
   ) t GROUP BY t.id)
-, m2_{k} AS MATERIALIZED (
+, {x}m2_{k} AS MATERIALIZED (
   SELECT t.id, max(t.v) AS m FROM (
-    SELECT id, m AS v FROM m1_{k}
+    SELECT id, m AS v FROM {x}m1_{k}
     UNION ALL
     SELECT e.dst AS id, s.m AS v
-    FROM bsym e JOIN m1_{k} s ON s.id = e.src
-    JOIN a{p} t2 ON t2.id = e.dst AND t2.active
+    FROM bsym e JOIN {x}m1_{k} s ON s.id = e.src
+    JOIN {x}a{p} t2 ON t2.id = e.dst AND t2.active
   ) t GROUP BY t.id)
-, s{k} AS MATERIALIZED (SELECT id FROM m2_{k} WHERE m % {B} = id)
-, d{k} AS MATERIALIZED (
-  SELECT id FROM s{k}
+, {x}s{k} AS MATERIALIZED (SELECT id FROM {x}m2_{k} WHERE m % {B} = id)
+, {x}d{k} AS MATERIALIZED (
+  SELECT id FROM {x}s{k}
   UNION
-  SELECT e.dst AS id FROM bsym e JOIN s{k} s ON s.id = e.src)
-, rem{k} AS MATERIALIZED (
-  SELECT a.id FROM a{p} a LEFT JOIN d{k} d ON d.id = a.id
+  SELECT e.dst AS id FROM bsym e JOIN {x}s{k} s ON s.id = e.src)
+, {x}rem{k} AS MATERIALIZED (
+  SELECT a.id FROM {x}a{p} a LEFT JOIN {x}d{k} d ON d.id = a.id
   WHERE a.active AND d.id IS NULL)
-, rc{k} AS MATERIALIZED (
+, {x}rc{k} AS MATERIALIZED (
   SELECT e.dst AS id, count(*) AS c
-  FROM bsym e JOIN rem{k} r1 ON r1.id = e.src JOIN rem{k} r2 ON r2.id = e.dst
+  FROM bsym e JOIN {x}rem{k} r1 ON r1.id = e.src JOIN {x}rem{k} r2 ON r2.id = e.dst
   GROUP BY e.dst)
-, a{k} AS MATERIALIZED (
+, {x}a{k} AS MATERIALIZED (
   SELECT a.id, coalesce(c.c, 0) AS cnt,
          r.id IS NOT NULL AS active,
          a.sel OR s.id IS NOT NULL AS sel
-  FROM a{p} a LEFT JOIN rem{k} r ON r.id = a.id
-  LEFT JOIN rc{k} c ON c.id = a.id LEFT JOIN s{k} s ON s.id = a.id)"""
+  FROM {x}a{p} a LEFT JOIN {x}rem{k} r ON r.id = a.id
+  LEFT JOIN {x}rc{k} c ON c.id = a.id LEFT JOIN {x}s{k} s ON s.id = a.id)"""
         )
-    parts.append(f"SELECT id, sel AS in_mds FROM a{rounds}")
     return "\n".join(parts)
+
+
+def _matching_family_sql(
+    mis_rounds: int = MIS_UNROLL,
+    mm_rounds: int = MM_UNROLL,
+    mds_rounds: int = MDS_UNROLL,
+) -> str:
+    """The three greedy unrolls over one shared thinned edge set,
+    joined per-vertex — the oracle twin of _q_matching_family."""
+    return (
+        f"WITH {PART_EDGES_SQL}{_THIN_SQL}"
+        + "\n, bdeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM bsym GROUP BY src)"
+        + "\n" + _mis_chain(mis_rounds, "mi")
+        + "\n" + _mm_chain(mm_rounds, "mm")
+        + "\n" + _mds_chain(mds_rounds, "md")
+        + f"""
+SELECT v.id, mi.sel AS in_mis, coalesce(mm.match, -1) AS match, md.sel AS in_mds
+FROM bverts v
+JOIN mia{mis_rounds} mi ON mi.id = v.id
+JOIN mma{mm_rounds} mm ON mm.id = v.id
+JOIN mda{mds_rounds} md ON md.id = v.id"""
+    )
 
 
 def _msf_sql(wrange: int = MSF_W_RANGE) -> str:
@@ -1608,17 +1628,6 @@ SELECT CAST(max(ecc) AS BIGINT) AS diameter,
 FROM ecc"""
     )
     return "\n".join(parts)
-
-
-def _harmonic_sql(k: int = HARMONIC_SOURCES, layers: int = MSBFS_LAYERS) -> str:
-    return (
-        f"WITH {PART_EDGES_SQL}"
-        + _msbfs_layers(k, layers)
-        + f"""
-SELECT s AS id,
-       round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 8) AS harmonic
-FROM r{layers} GROUP BY s"""
-    )
 
 
 def _biconn_sql_body(layers: int = BFS_LAYERS) -> str:
@@ -1770,67 +1779,6 @@ def _articlerank_sql(iters: int = AR_ITERS, damping: float = AR_DAMPING) -> str:
     return "\n".join(parts)
 
 
-def _bfs_tree_sql(layers: int = BFS_LAYERS) -> str:
-    """BFS levels (unrolled, as _bfs_sql) then the deterministic tree:
-    parent(v) = min u with level(u)+1 = level(v) and {u,v} an edge."""
-    big = 10**15
-    parts = [
-        f"WITH {PART_EDGES_SQL}",
-        f", d0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(id) FROM verts)"
-        f" THEN 0 ELSE {big} END AS d FROM verts)",
-    ]
-    for k in range(1, layers + 1):
-        p = k - 1
-        parts.append(
-            f""", d{k} AS MATERIALIZED (
-  SELECT v.id, least(v.d, coalesce(m.cand, {big})) AS d
-  FROM d{p} v LEFT JOIN (
-    SELECT s.dst AS id, min(r.d + 1) AS cand
-    FROM sym s JOIN d{p} r ON r.id = s.src WHERE r.d < {big}
-    GROUP BY s.dst) m ON m.id = v.id)"""
-        )
-    parts.append(
-        f""", lv AS MATERIALIZED (
-  SELECT id, CAST(d AS BIGINT) AS level FROM d{layers} WHERE d < {big})
-, par AS (
-  SELECT s.dst AS id, min(s.src) AS parent
-  FROM sym s JOIN lv a ON a.id = s.src JOIN lv b ON b.id = s.dst
-  WHERE a.level + 1 = b.level
-  GROUP BY s.dst)
-SELECT l.id, coalesce(p.parent, l.id) AS parent, l.level
-FROM lv l LEFT JOIN par p ON p.id = l.id"""
-    )
-    return "\n".join(parts)
-
-
-def _avg_length_w_sql(k: int = AVGLEN_W_SOURCES, layers: int = AVGLEN_W_LAYERS) -> str:
-    """Unrolled weighted multi-source relaxation (pair frame), then
-    the reached-pairs average — the weighted sssp_average_length."""
-    parts = [
-        f"WITH {PART_EDGES_SQL}",
-        ", symw AS MATERIALIZED (SELECT src, dst, weight FROM edges"
-        " UNION SELECT dst AS src, src AS dst, weight FROM edges)",
-        f", srcs AS MATERIALIZED (SELECT id AS s FROM verts ORDER BY id LIMIT {k})",
-        ", w0 AS MATERIALIZED (SELECT s, s AS id, 0.0 AS d FROM srcs)",
-    ]
-    for i in range(1, layers + 1):
-        p = i - 1
-        parts.append(
-            f""", w{i} AS MATERIALIZED (
-  SELECT s, id, min(d) AS d FROM (
-    SELECT s, id, d FROM w{p}
-    UNION ALL
-    SELECT r.s, e.dst AS id, r.d + e.weight AS d
-    FROM symw e JOIN w{p} r ON r.id = e.src
-  ) GROUP BY s, id)"""
-        )
-    parts.append(
-        f"SELECT round(sum(d) / count(*), 8) AS avg_length"
-        f" FROM w{layers} WHERE d > 0"
-    )
-    return "\n".join(parts)
-
-
 def _dfs_invariants_sql(layers: int = BFS_LAYERS) -> str:
     """The oracle's half of the DFS invariant gate: from reachability
     alone (undirected BFS from the min id), the preorder summary is
@@ -1921,7 +1869,6 @@ def oracle_sql() -> dict[str, str]:
         " AS centrality FROM verts v LEFT JOIN deg d ON d.id = v.id"
     )
     sql["pagerank"] = _pagerank_sql()
-    sql["pagerank_csr"] = _pagerank_sql()
     sql["wcc"] = (
         f"WITH RECURSIVE {PART_EDGES_SQL}"
         """, lab(id, comp) AS (
@@ -1935,30 +1882,14 @@ SELECT id, min(comp) AS comp FROM lab GROUP BY id"""
         f"WITH {PART_EDGES_SQL}{_TRI_SQL_BODY}"
         """, corners AS (
     SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-SELECT v.id, coalesce(c.tri, 0) AS tri FROM verts v
-LEFT JOIN (SELECT id, count(*) AS tri FROM corners GROUP BY id) c ON c.id = v.id"""
-    )
-    sql["triangle_count"] = (
-        f"WITH {PART_EDGES_SQL}{_TRI_SQL_BODY}"
-        " SELECT count(*) AS n_triangles FROM tri"
-    )
-    sql["lcc"] = (
-        f"WITH {PART_EDGES_SQL}{_TRI_SQL_BODY}"
-        """, corners AS (
-    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
 , pv AS (SELECT id, count(*) AS tri FROM corners GROUP BY id)
-SELECT v.id,
+SELECT v.id, coalesce(pv.tri, 0) AS tri,
        round(CASE WHEN coalesce(d.degree, 0) >= 2
              THEN 2.0 * coalesce(pv.tri, 0) / (d.degree * (d.degree - 1))
              ELSE 0.0 END, 8) AS lcc
 FROM verts v LEFT JOIN pv ON pv.id = v.id LEFT JOIN degt d ON d.id = v.id"""
     )
-    sql["transitivity"] = (
-        f"WITH {PART_EDGES_SQL}{_TRI_SQL_BODY}"
-        " SELECT round(3.0 * (SELECT count(*) FROM tri)"
-        " / (SELECT sum(degree * (degree - 1) / 2) FROM degt), 8) AS transitivity"
-    )
-    sql["avg_clustering"] = (
+    sql["triangle_stats"] = (
         f"WITH {PART_EDGES_SQL}{_TRI_SQL_BODY}"
         """, corners AS (
     SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
@@ -1968,47 +1899,39 @@ FROM verts v LEFT JOIN pv ON pv.id = v.id LEFT JOIN degt d ON d.id = v.id"""
            THEN 2.0 * coalesce(pv.tri, 0) / (d.degree * (d.degree - 1))
            ELSE 0.0 END AS lcc
     FROM verts v LEFT JOIN pv ON pv.id = v.id LEFT JOIN degt d ON d.id = v.id)
-SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
+SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+       round(3.0 * (SELECT count(*) FROM tri)
+             / (SELECT sum(degree * (degree - 1) / 2) FROM degt), 8) AS transitivity,
+       (SELECT round(avg(lcc), 8) FROM percoef) AS avg_clustering"""
     )
     sql["bfs"] = _bfs_sql()
     sql["sssp"] = _sssp_sql()
     sql["hits"] = _hits_sql()
-    sql["kcore"] = _kcore_sql()
+    sql["kshell"] = _kshell_sql()
     sql["eigenvector"] = _eigenvector_sql()
     sql["katz"] = _katz_sql()
     sql["closeness"] = _closeness_sql()
     sql["apsp"] = _apsp_sql()
-    sql["sssp_path"] = _sssp_path_sql()
     sql["sssp_avg_length"] = _avg_length_sql()
     sql["betweenness"] = _betweenness_sql()
-    sql["louvain"] = _louvain_sql()
     sql["louvain_full"] = _louvain_full_sql()
     sql["scc"] = _scc_sql()
     sql["bridges"] = _bridges_sql()
     sql["articulation_points"] = _articulation_sql()
     sql["bcc"] = _bcc_sql()
-    sql["mis"] = _mis_sql()
-    sql["maximal_matching"] = _mm_sql()
-    sql["min_dominating_set"] = _mds_sql()
+    sql["matching_family"] = _matching_family_sql()
     sql["msf"] = _msf_sql()
-    sql["harmonic"] = _harmonic_sql()
     sql["diameter_approx"] = _diameter_sql()
     sql["ppr"] = _ppr_sql()
     sql["articlerank"] = _articlerank_sql()
-    sql["bfs_tree"] = _bfs_tree_sql()
-    sql["sssp_avg_length_w"] = _avg_length_w_sql()
     sql["dfs"] = _dfs_invariants_sql()
-    sql["kshell"] = _kshell_sql()
     sql["clustering_directed"] = _clustering_directed_sql()
-    sql["degree_assortativity"] = (
+    sql["assortativity"] = (
         f"WITH {PART_EDGES_SQL}"
-        ", degt AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src)"
-        " SELECT round(corr(a.deg, b.deg), 8) AS assortativity"
-        " FROM sym e JOIN degt a ON a.id = e.src JOIN degt b ON b.id = e.dst"
-    )
-    sql["attr_assortativity"] = (
-        f"WITH {PART_EDGES_SQL}"
-        f""", mix AS MATERIALIZED (
+        f""", degt AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src)
+, da AS (SELECT round(corr(a.deg, b.deg), 8) AS v
+         FROM sym e JOIN degt a ON a.id = e.src JOIN degt b ON b.id = e.dst)
+, mix AS MATERIALIZED (
   SELECT (src % {ATTR_CATS}) AS ca, (dst % {ATTR_CATS}) AS cb,
          CAST(count(*) AS DOUBLE) AS n
   FROM edges GROUP BY 1, 2)
@@ -2017,8 +1940,9 @@ SELECT round(avg(lcc), 8) AS avg_clustering FROM percoef"""
 , av AS (SELECT ca, sum(n) / (SELECT t FROM tot) AS a FROM mix GROUP BY ca)
 , bv AS (SELECT cb, sum(n) / (SELECT t FROM tot) AS b FROM mix GROUP BY cb)
 , ab AS (SELECT coalesce(sum(av.a * bv.b), 0) AS s FROM av JOIN bv ON bv.cb = av.ca)
-SELECT round(((SELECT v FROM tr) - (SELECT s FROM ab)) / (1 - (SELECT s FROM ab)), 8)
-       AS assortativity"""
+SELECT (SELECT v FROM da) AS degree_assortativity,
+       round(((SELECT v FROM tr) - (SELECT s FROM ab)) / (1 - (SELECT s FROM ab)), 8)
+       AS attr_assortativity"""
     )
     sql["avg_degree_connectivity"] = (
         f"WITH {PART_EDGES_SQL}"
@@ -2027,17 +1951,14 @@ SELECT round(((SELECT v FROM tr) - (SELECT s FROM ab)) / (1 - (SELECT s FROM ab)
         " FROM sym e JOIN degt a ON a.id = e.src JOIN degt b ON b.id = e.dst"
         " GROUP BY 1"
     )
-    sql["node_boundary"] = (
+    sql["boundary"] = (
         f"WITH {PART_EDGES_SQL}"
         f", srcs AS (SELECT id FROM verts ORDER BY id LIMIT {BOUNDARY_SOURCES})"
-        " SELECT DISTINCT e.dst AS id FROM edges e"
-        " WHERE e.src IN (SELECT id FROM srcs) AND e.dst NOT IN (SELECT id FROM srcs)"
-    )
-    sql["edge_boundary"] = (
-        f"WITH {PART_EDGES_SQL}"
-        f", srcs AS (SELECT id FROM verts ORDER BY id LIMIT {BOUNDARY_SOURCES})"
-        " SELECT e.src, e.dst FROM edges e"
-        " WHERE e.src IN (SELECT id FROM srcs) AND e.dst NOT IN (SELECT id FROM srcs)"
+        ", eb AS MATERIALIZED (SELECT e.src, e.dst FROM edges e"
+        " WHERE e.src IN (SELECT id FROM srcs) AND e.dst NOT IN (SELECT id FROM srcs))"
+        " SELECT src, dst, TRUE AS dst_in_nb,"
+        " (SELECT CAST(count(DISTINCT dst) AS BIGINT) FROM eb) AS n_node_boundary"
+        " FROM eb"
     )
     sql["voterank"] = _voterank_sql()
     sql["lpa_u2i"] = _lpa_u2i_sql()
@@ -2050,17 +1971,15 @@ JOIN edges e2 ON e2.src = e1.dst
 WHERE a.id % 3 = 0 AND a.id < {SAMPLING_V0_CAP}
   AND e1.dst % 3 = 1 AND e2.dst % 3 = 2"""
     )
-    sql["is_simple_path"] = (
+    sql["simple_paths"] = (
         f"WITH {PART_EDGES_SQL}"
         """, p AS (SELECT id, row_number() OVER (ORDER BY id) AS rn
        FROM (SELECT id FROM verts ORDER BY id LIMIT 3))
 , hops AS (SELECT a.id AS src, b.id AS dst FROM p a JOIN p b ON b.rn = a.rn + 1)
-SELECT (SELECT count(*) FROM hops h JOIN sym s ON s.src = h.src AND s.dst = h.dst)
-       = (SELECT count(*) FROM hops) AS is_path"""
-    )
-    sql["all_simple_paths"] = (
-        f"WITH {PART_EDGES_SQL}"
-        """, st AS (SELECT min(id) AS s FROM verts)
+, probe AS (
+  SELECT (SELECT count(*) FROM hops h JOIN sym s ON s.src = h.src AND s.dst = h.dst)
+         = (SELECT count(*) FROM hops) AS ok)
+, st AS (SELECT min(id) AS s FROM verts)
 , tg AS (SELECT id AS t FROM verts ORDER BY id LIMIT 1 OFFSET 1)
 , ns_ AS MATERIALIZED (SELECT dst AS a FROM sym WHERE src = (SELECT s FROM st))
 , nt_ AS MATERIALIZED (SELECT src AS b FROM sym WHERE dst = (SELECT t FROM tg))
@@ -2079,42 +1998,28 @@ SELECT (SELECT count(*) FROM hops h JOIN sym s ON s.src = h.src AND s.dst = h.ds
          WHERE n1.a <> (SELECT s FROM st) AND n1.a <> (SELECT t FROM tg)
            AND e.dst <> (SELECT s FROM st) AND e.dst <> (SELECT t FROM tg)
            AND e.dst <> n1.a)
-SELECT path FROM l1 UNION ALL SELECT path FROM l2 UNION ALL SELECT path FROM l3"""
+SELECT path, (SELECT ok FROM probe) AS probe_is_path FROM (
+  SELECT path FROM l1 UNION ALL SELECT path FROM l2 UNION ALL SELECT path FROM l3)"""
     )
     sql["blob_stats"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
         " sha256(text) AS content_sha FROM documents"
     )
-    sql["doc_sha"] = "SELECT doc_id, sha256(text) AS content_sha FROM documents"
     sql["dedup_exact"] = (
         "SELECT sha256(text) AS content_sha, min(doc_id) AS doc_id,"
         " count(*) AS n_dups FROM documents GROUP BY sha256(text)"
     )
-    sql["token_count"] = (
-        r"SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"
-        " AS n_tokens FROM documents"
-    )
     stop_list = ", ".join(f"'{s}'" for s in pl.STOPWORDS)
-    sql["quality_score"] = (
+    marker_values = ", ".join(f"('{l}', '{m}')" for l, m in pl.LANG_MARKERS)
+    sql["doc_features"] = (
         "WITH "
         + _TOKS_SQL
-        + f""",
+        + rf""",
 stats AS (
     SELECT doc_id, count(*) AS n,
            sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop,
            count(DISTINCT tok) AS n_uniq
-    FROM toks GROUP BY doc_id)
-SELECT doc_id,
-       round(0.4 * least(1.0, n / 64.0)
-             + 0.3 * (1.0 - n_stop / CAST(n AS DOUBLE))
-             + 0.3 * (n_uniq / CAST(n AS DOUBLE)), 8) AS score
-FROM stats"""
-    )
-    marker_values = ", ".join(f"('{l}', '{m}')" for l, m in pl.LANG_MARKERS)
-    sql["lang_id"] = (
-        "WITH "
-        + _TOKS_SQL
-        + f""",
+    FROM toks GROUP BY doc_id),
 markers(lang, marker) AS (VALUES {marker_values}),
 hits AS (
     SELECT doc_id, lang, count(*) AS cnt
@@ -2123,8 +2028,14 @@ best AS (
     SELECT doc_id, min(lang) AS pred_lang FROM (
         SELECT doc_id, lang, cnt, max(cnt) OVER (PARTITION BY doc_id) AS mx FROM hits)
     WHERE cnt = mx GROUP BY doc_id)
-SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang
-FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id"""
+SELECT d.doc_id,
+       CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+       round(0.4 * least(1.0, s.n / 64.0)
+             + 0.3 * (1.0 - s.n_stop / CAST(s.n AS DOUBLE))
+             + 0.3 * (s.n_uniq / CAST(s.n AS DOUBLE)), 8) AS score,
+       coalesce(b.pred_lang, 'und') AS pred_lang
+FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+LEFT JOIN best b ON b.doc_id = d.doc_id"""
     )
     sql["ngram_jaccard"] = (
         "WITH "
@@ -2146,17 +2057,6 @@ jac AS (
 SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.05"""
     )
     sql["minhash_signatures"] = _MINHASH_SQL + " SELECT doc_id, seed, minhash FROM sig"
-    sql["lsh_candidates"] = (
-        _MINHASH_SQL
-        + """,
-bands AS (
-    SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
-           md5(array_to_string(list_sort(list(seed || ':' || minhash)), ',')) AS bh
-    FROM sig GROUP BY doc_id, CAST(floor(seed / 4) AS INT))
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM bands x JOIN bands y
-  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id"""
-    )
     sql["dedup_clusters"] = (
         "WITH RECURSIVE "
         + _GRAMS_SQL
