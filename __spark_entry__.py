@@ -73,6 +73,11 @@ VOTERANK_SEEDS = 16
 LPA_U2I_ROUNDS = 2
 SAMPLING_V0_CAP = 300
 ASP_CUTOFF = 3
+S6_HINDEX_LAYERS = 24  # measured 14 H-index rounds at sf0.01 on the %6 graph
+DEGEN_UNROLL = 14      # measured 8 peel waves at sf0.01
+ONION_UNROLL = 22      # measured 14 layers at sf0.01
+MC_P1_UNROLL = 14      # measured 10 threshold rounds at sf0.01 (≤ log2 n + 2)
+MC_P2_UNROLL = 8       # measured 4 refinement rounds at sf0.01
 
 
 # ---------------------------------------------------------------------------
@@ -414,9 +419,14 @@ def _q_matching_family(spark, sf_dir):
     per-vertex frame: maximal independent set
     (flash/matching/mis.h:47-82), maximal matching (mm.h:48-75,
     mutual-max-id pairing — run on the SPARSE thinned set where it
-    takes ~10 rounds like the reference's test graphs), and greedy
-    minimal dominating set (min-dominating-set.h:50-96)."""
-    from linkgraph.algos.matching import maximal_matching, min_dominating_set, mis
+    takes ~10 rounds like the reference's test graphs), greedy
+    minimal dominating set (min-dominating-set.h:50-96), and the
+    minimal edge-cover size derived from the matching
+    (min-edge-cover.h:43-105: n_nonisolated − |M|) as a constant
+    column."""
+    from linkgraph.algos.matching import (
+        maximal_matching, min_dominating_set, min_edge_cover_size, mis,
+    )
 
     g = _thinned_graph(spark, sf_dir)
     r1 = mis(g)
@@ -425,10 +435,12 @@ def _q_matching_family(spark, sf_dir):
     _assert_unroll(r2, MM_UNROLL, "maximal_matching")
     r3 = min_dominating_set(g)
     _assert_unroll(r3, MDS_UNROLL, "min_dominating_set")
+    ec = min_edge_cover_size(g, matching=r2)
     return (
         r1.state.select("id", "in_mis")
         .join(r2.state.select("id", "match"), "id")
         .join(r3.state.select("id", "in_mds"), "id")
+        .withColumn("ec", F.lit(ec).cast("long"))
     )
 
 
@@ -670,6 +682,97 @@ def _q_blob_stats(spark, sf_dir):
     return blob_stats(spark, sf_dir)
 
 
+def _subgraph_graph(spark, sf_dir):
+    """%6-thinned co-occurrence graph for the subgraph/motif/ordering
+    gates: sparser than the near-clique full graph but — unlike the
+    %24 biconnectivity thinning — still rich in triangles, 4/5-cliques
+    and multi-layer cores (sf0.01: 19 380 edges, 4 097 triangles,
+    400 4-cliques, degeneracy 14, 14 onion layers)."""
+    e = part_edges(spark, sf_dir).select("src", "dst")
+    th = e.where((F.col("src") * 1000003 + F.col("dst")) % 6 == 0)
+    return Graph.from_edges(th, directed=True)
+
+
+def _q_kclique(spark, sf_dir):
+    """Global k-clique counts for k = 3, 4, 5 in one row
+    (flash/subgraph/k-clique.h:44-95) — the reference's per-vertex
+    recursive out-set intersection re-expressed as k-2 oriented
+    equi-join extension stages."""
+    from linkgraph.algos.subgraph import kclique_counts
+
+    return kclique_counts(_subgraph_graph(spark, sf_dir), ks=(3, 4, 5))
+
+
+def _q_motif_census(spark, sf_dir):
+    """Directed triangle census + undirected motif counts in one row
+    (flash/subgraph/{acyclic,cyclic,in,out,tailed}-triangle.h,
+    3-path.h, rectangle.h, diamond.h). Directed gate edges: pairs
+    with co-occurrence weight ≥ 2 become RECIPROCAL (both
+    directions); lighter pairs keep a parity direction — a
+    deterministic rule both engines express identically that yields
+    real cycles, transitive triangles and reciprocal pairs."""
+    from linkgraph.algos.subgraph import motif_census
+
+    e = part_edges(spark, sf_dir)
+    th = e.where((F.col("src") * 1000003 + F.col("dst")) % 6 == 0)
+    heavy = th.where(F.col("weight") >= 2).select("src", "dst")
+    even = (F.col("src") + F.col("dst")) % 2 == 0
+    light = th.where(F.col("weight") < 2).select(
+        F.when(even, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(even, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+    de = (
+        heavy.unionByName(
+            heavy.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).unionByName(light)
+    )
+    return motif_census(Graph.from_edges(de, directed=True))
+
+
+def _q_densest(spark, sf_dir):
+    """Densest-subgraph 2-approximation = average degree of the
+    max-core subgraph (flash/subgraph/densest-sub-2-approx.h:39-98),
+    on the full co-occurrence graph (shares the kshell H-index
+    fixpoint substrate)."""
+    from linkgraph.algos.subgraph import densest_subgraph
+
+    return densest_subgraph(part_graph(spark, sf_dir))
+
+
+def _q_ordering(spark, sf_dir):
+    """Degeneracy ordering + onion-layer ordering per vertex
+    (flash/core/{degeneracy-ordering.h:44-113,
+    onion-layer-ordering.h:44-110}) on the %6-thinned graph; the
+    shared core numbers are computed once (H-index fixpoint) and
+    emitted as a third column."""
+    from linkgraph.algos.cores import kshell
+    from linkgraph.algos.ordering import degeneracy_ordering, onion_layers
+
+    g = _subgraph_graph(spark, sf_dir)
+    rsh = kshell(g)
+    _assert_unroll(rsh, S6_HINDEX_LAYERS, "s6 kshell")
+    sh = rsh.state.persist()
+    r1 = degeneracy_ordering(g, shell=sh)
+    _assert_unroll(r1, DEGEN_UNROLL, "degeneracy_ordering")
+    r2 = onion_layers(g, shell=sh)
+    _assert_unroll(r2, ONION_UNROLL, "onion_layers")
+    return (
+        sh.select("id", F.col("shell").cast("long").alias("core"))
+        .join(r1.state.select("id", F.col("rank").alias("deg_rank")), "id")
+        .join(r2.state.select("id", F.col("layer").alias("onion_layer")), "id")
+    )
+
+
+def _q_covers(spark, sf_dir):
+    """Greedy 2-phase minimal vertex cover per vertex
+    (flash/matching/min-cover.h:43-116) on the %6-thinned graph."""
+    from linkgraph.algos.matching import min_vertex_cover
+
+    r = min_vertex_cover(_subgraph_graph(spark, sf_dir))
+    _assert_unroll(r, MC_P1_UNROLL + MC_P2_UNROLL, "min_vertex_cover")
+    return r.state.select("id", "in_cover")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """≤50 entries by design: the round-3 driver capped its oracle run
     at the first 50 registry keys, so sibling operators that share a
@@ -724,6 +827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_path": _q_sampling_path,
         "simple_paths": _q_simple_paths,
         "dfs": _q_dfs,
+        "kclique": _q_kclique,
+        "motif_census": _q_motif_census,
+        "densest": _q_densest,
+        "ordering": _q_ordering,
+        "covers": _q_covers,
         # training-data pipeline operators (documents/embeddings)
         "blob_stats": _q_blob_stats,
         "dedup_exact": pl.dedup_exact,
@@ -1554,12 +1662,258 @@ def _matching_family_sql(
         + "\n" + _mm_chain(mm_rounds, "mm")
         + "\n" + _mds_chain(mds_rounds, "md")
         + f"""
-SELECT v.id, mi.sel AS in_mis, coalesce(mm.match, -1) AS match, md.sel AS in_mds
+SELECT v.id, mi.sel AS in_mis, coalesce(mm.match, -1) AS match, md.sel AS in_mds,
+  CAST((SELECT count(*) FROM bverts)
+       - (SELECT count(*) FROM mma{mm_rounds} WHERE match IS NOT NULL) / 2
+       AS BIGINT) AS ec
 FROM bverts v
 JOIN mia{mis_rounds} mi ON mi.id = v.id
 JOIN mma{mm_rounds} mm ON mm.id = v.id
 JOIN mda{mds_rounds} md ON md.id = v.id"""
     )
+
+
+# shared %6-thinned edge set for the subgraph/motif/ordering/cover
+# gates (sparser than the near-clique full graph, denser than the
+# %24 biconnectivity thinning — keeps cliques and multi-layer cores)
+_S6_SQL = """
+, s6e AS MATERIALIZED (
+    SELECT src, dst, CAST(weight AS BIGINT) AS w FROM edges
+    WHERE (src * 1000003 + dst) % 6 = 0)
+, s6verts AS MATERIALIZED (
+    SELECT DISTINCT id FROM (SELECT src AS id FROM s6e UNION ALL SELECT dst FROM s6e))
+, s6sym AS MATERIALIZED (SELECT src, dst FROM s6e UNION SELECT dst AS src, src AS dst FROM s6e)
+, s6deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM s6sym GROUP BY src)
+, s6o AS MATERIALIZED (
+    SELECT s.src, s.dst FROM s6sym s
+    JOIN s6deg d1 ON d1.id = s.src JOIN s6deg d2 ON d2.id = s.dst
+    WHERE (d1.d < d2.d) OR (d1.d = d2.d AND s.src < s.dst))"""
+
+
+def _hindex_chain(layers: int, sym: str = "sym", verts: str = "verts",
+                  x: str = "h") -> str:
+    """Unrolled iterated-H-index core-number fixpoint (same recurrence
+    as _kshell_sql) parametrized over the edge/vertex CTE names, so
+    the densest/ordering gates can run it on other edge sets.
+    Produces {x}{layers} with columns (id, h)."""
+    parts = [
+        f""", {x}0 AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS h
+  FROM {verts} v LEFT JOIN (
+    SELECT src AS id, count(*) AS deg FROM {sym} GROUP BY src) d ON d.id = v.id)"""
+    ]
+    for k in range(1, layers + 1):
+        p = k - 1
+        parts.append(
+            f""", {x}{k} AS MATERIALIZED (
+  SELECT s.id, CAST(coalesce(q.hn, 0) AS BIGINT) AS h
+  FROM {x}{p} s LEFT JOIN (
+    SELECT id, max(least(h, cum)) AS hn FROM (
+      SELECT id, h, sum(c) OVER (PARTITION BY id ORDER BY h DESC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT e.src AS id, r.h AS h, count(*) AS c
+            FROM {sym} e JOIN {x}{p} r ON r.id = e.dst GROUP BY e.src, r.h))
+    GROUP BY id) q ON q.id = s.id)"""
+        )
+    return "\n".join(parts)
+
+
+def _clique_count_sql(k: int, tbl: str = "s6o") -> str:
+    """Scalar k-clique count as one (k choose 2)-way self-join on the
+    degree-ordered oriented edge table: v1..vk ascend in (deg, id)
+    order, vj is introduced by edge e1j and pinned to every earlier
+    member by edge eij — each k-clique matched exactly once."""
+    parts = [f"SELECT count(*) FROM {tbl} e12"]
+    for j in range(3, k + 1):
+        parts.append(f"JOIN {tbl} e1{j} ON e1{j}.src = e12.src")
+        for i in range(2, j):
+            vi = "e12.dst" if i == 2 else f"e1{i}.dst"
+            parts.append(
+                f"JOIN {tbl} e{i}{j} ON e{i}{j}.src = {vi} AND e{i}{j}.dst = e1{j}.dst"
+            )
+    return " ".join(parts)
+
+
+def _kclique_sql() -> str:
+    return (
+        f"WITH {PART_EDGES_SQL}{_S6_SQL}\n"
+        f"SELECT CAST(({_clique_count_sql(3)}) AS BIGINT) AS n_3,\n"
+        f"       CAST(({_clique_count_sql(4)}) AS BIGINT) AS n_4,\n"
+        f"       CAST(({_clique_count_sql(5)}) AS BIGINT) AS n_5"
+    )
+
+
+def _motif_census_sql() -> str:
+    """Directed census over the parity+weight-directed %6 edge set and
+    undirected motif counts over its underlying simple graph — each
+    count the same closed-form join as the Spark side (see
+    linkgraph/algos/subgraph.py motif_census)."""
+    return f"""WITH {PART_EDGES_SQL}{_S6_SQL}
+, de6 AS MATERIALIZED (
+    SELECT src, dst FROM s6e WHERE w >= 2
+    UNION SELECT dst AS src, src AS dst FROM s6e WHERE w >= 2
+    UNION SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS src,
+                 CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS dst
+          FROM s6e WHERE w < 2)
+, recip6 AS MATERIALIZED (
+    SELECT a.src, a.dst FROM de6 a JOIN de6 b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst)
+, corn6 AS MATERIALIZED (
+    SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+    FROM s6o e1 JOIN s6o e2 ON e2.src = e1.dst
+    JOIN s6o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+, tv6 AS MATERIALIZED (
+    SELECT id, count(*) AS tri FROM (
+      SELECT x AS id FROM corn6 UNION ALL SELECT y FROM corn6
+      UNION ALL SELECT z FROM corn6)
+    GROUP BY id)
+, te6 AS MATERIALIZED (
+    SELECT a, b, count(*) AS t FROM (
+      SELECT least(x, y) AS a, greatest(x, y) AS b FROM corn6
+      UNION ALL SELECT least(y, z), greatest(y, z) FROM corn6
+      UNION ALL SELECT least(x, z), greatest(x, z) FROM corn6)
+    GROUP BY a, b)
+, wed6 AS MATERIALIZED (
+    SELECT a.src AS v, o.dst AS o, count(*) AS c
+    FROM s6sym a JOIN s6o o ON o.src = a.dst
+    JOIN s6deg dv ON dv.id = a.src JOIN s6deg dd ON dd.id = o.dst
+    WHERE (dd.d > dv.d) OR (dd.d = dv.d AND o.dst > a.src)
+    GROUP BY a.src, o.dst)
+SELECT
+  (SELECT count(*) FROM de6 e1 JOIN de6 e2 ON e2.src = e1.dst
+     JOIN de6 e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_trans,
+  CAST((SELECT count(*) FROM de6 e1 JOIN de6 e2 ON e2.src = e1.dst
+     JOIN de6 e3 ON e3.src = e2.dst AND e3.dst = e1.src) / 3 AS BIGINT) AS n_cyclic,
+  (SELECT count(*) FROM recip6 r JOIN de6 a ON a.src = r.src
+     JOIN de6 b ON b.src = r.dst AND b.dst = a.dst) AS n_in_plus,
+  (SELECT count(*) FROM recip6 r JOIN de6 a ON a.dst = r.src
+     JOIN de6 b ON b.dst = r.dst AND b.src = a.src) AS n_out_plus,
+  CAST(coalesce((SELECT sum(t.tri * (d.d - 2)) FROM tv6 t
+     JOIN s6deg d ON d.id = t.id), 0) AS BIGINT) AS n_tailed,
+  CAST((SELECT coalesce(sum((d1.d - 1) * (d2.d - 1)), 0) FROM s6e e
+        JOIN s6deg d1 ON d1.id = e.src JOIN s6deg d2 ON d2.id = e.dst)
+       - 3 * (SELECT count(*) FROM corn6) AS BIGINT) AS n_paths3,
+  CAST(coalesce((SELECT sum(c * (c - 1) / 2) FROM wed6), 0) AS BIGINT) AS n_rect,
+  CAST(coalesce((SELECT sum(t * (t - 1) / 2) FROM te6), 0) AS BIGINT) AS n_diamond"""
+
+
+def _densest_sql(layers: int = KSHELL_LAYERS) -> str:
+    """Max-core average degree over the full co-occurrence graph; core
+    numbers via the same unrolled H-index fixpoint as the kshell gate."""
+    return (
+        f"WITH {PART_EDGES_SQL}"
+        + _hindex_chain(layers, "sym", "verts", "dh")
+        + f"""
+, dcm AS (SELECT max(h) AS m FROM dh{layers})
+, ds AS MATERIALIZED (SELECT id FROM dh{layers} WHERE h = (SELECT m FROM dcm))
+, de AS (SELECT count(*) AS ne FROM sym e
+         JOIN ds a ON a.id = e.src JOIN ds b ON b.id = e.dst)
+SELECT (SELECT count(*) FROM ds) AS n_sub,
+       (SELECT ne FROM de) AS deg_sum,
+       round((SELECT ne FROM de) * 1.0 / (SELECT count(*) FROM ds), 8) AS density"""
+    )
+
+
+def _ordering_sql(
+    hlayers: int = S6_HINDEX_LAYERS,
+    degr: int = DEGEN_UNROLL,
+    onr: int = ONION_UNROLL,
+) -> str:
+    """Unrolled degeneracy + onion peel waves over the %6 graph; extra
+    rounds beyond the data's actual wave count are no-ops (an already-
+    stamped vertex keeps its stamp, an empty wave decrements nothing),
+    so a generous fixed unroll equals the Spark fixpoint."""
+    parts = [f"WITH {PART_EDGES_SQL}{_S6_SQL}"]
+    parts.append(_hindex_chain(hlayers, "s6sym", "s6verts", "sh"))
+    parts.append(f", s6core AS MATERIALIZED (SELECT id, h AS core FROM sh{hlayers})")
+    parts.append(", dgv AS (SELECT max(core) AS dg FROM s6core)")
+    parts.append(""", dg0 AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS d, CAST(NULL AS BIGINT) AS rnk
+  FROM s6verts v LEFT JOIN s6deg d ON d.id = v.id)""")
+    for k in range(1, degr + 1):
+        p = k - 1
+        parts.append(f""", dgr{k} AS MATERIALIZED (
+  SELECT id FROM dg{p} WHERE rnk IS NULL AND d <= (SELECT dg FROM dgv))
+, dg{k} AS MATERIALIZED (
+  SELECT s.id, s.d - coalesce(q.c, 0) AS d,
+         CASE WHEN s.rnk IS NOT NULL THEN s.rnk
+              WHEN s.d <= (SELECT dg FROM dgv) THEN {p} END AS rnk
+  FROM dg{p} s LEFT JOIN (
+    SELECT e.src AS id, count(*) AS c FROM s6sym e JOIN dgr{k} r ON r.id = e.dst
+    GROUP BY e.src) q ON q.id = s.id)""")
+    parts.append(""", on0 AS MATERIALIZED (
+  SELECT c.id, c.core, CAST(coalesce(q.d, 0) AS BIGINT) AS d,
+         CAST(NULL AS BIGINT) AS layer
+  FROM s6core c LEFT JOIN (
+    SELECT e.src AS id, count(*) AS d FROM s6sym e
+    JOIN s6core cs ON cs.id = e.src JOIN s6core cd ON cd.id = e.dst
+    WHERE cd.core >= cs.core GROUP BY e.src) q ON q.id = c.id)""")
+    for k in range(1, onr + 1):
+        p = k - 1
+        parts.append(f""", onr{k} AS MATERIALIZED (
+  SELECT id, core FROM on{p} WHERE layer IS NULL AND d <= core)
+, on{k} AS MATERIALIZED (
+  SELECT s.id, s.core, s.d - coalesce(q.c, 0) AS d,
+         CASE WHEN s.layer IS NOT NULL THEN s.layer
+              WHEN s.d <= s.core THEN {p} END AS layer
+  FROM on{p} s LEFT JOIN (
+    SELECT e.src AS id, count(*) AS c FROM s6sym e
+    JOIN onr{k} r ON r.id = e.dst
+    JOIN s6core cs ON cs.id = e.src
+    WHERE cs.core = r.core GROUP BY e.src) q ON q.id = s.id)""")
+    parts.append(f"""SELECT c.id, c.core,
+  CAST(coalesce(d.rnk, -1) AS BIGINT) AS deg_rank,
+  CAST(coalesce(o.layer, -1) AS BIGINT) AS onion_layer
+FROM s6core c JOIN dg{degr} d ON d.id = c.id JOIN on{onr} o ON o.id = c.id""")
+    return "\n".join(parts)
+
+
+def _covers_sql(p1: int = MC_P1_UNROLL, p2: int = MC_P2_UNROLL) -> str:
+    """Unrolled 2-phase greedy vertex cover over the %6 graph
+    (min-cover.h): phase-1 round k admits active vertices with
+    residual degree ≥ floor(n/2^k); phase-2 rounds drop redundant
+    cover vertices with no higher-id redundant neighbour. Extra
+    rounds at either fixpoint are no-ops."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}{_S6_SQL}",
+        ", n6 AS (SELECT count(*) AS n FROM s6verts)",
+        """, mc0 AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS d, FALSE AS c
+  FROM s6verts v LEFT JOIN s6deg d ON d.id = v.id)""",
+    ]
+    for k in range(1, p1 + 1):
+        p = k - 1
+        parts.append(f""", mcs{k} AS MATERIALIZED (
+  SELECT id FROM mc{p}
+  WHERE NOT c AND d > 0
+    AND d >= CAST(floor((SELECT n FROM n6) / {2 ** k}) AS BIGINT))
+, mc{k} AS MATERIALIZED (
+  SELECT s.id, s.d - coalesce(q.cnt, 0) AS d,
+         (s.c OR m.id IS NOT NULL) AS c
+  FROM mc{p} s
+  LEFT JOIN mcs{k} m ON m.id = s.id
+  LEFT JOIN (
+    SELECT e.src AS id, count(*) AS cnt FROM s6sym e JOIN mcs{k} r ON r.id = e.dst
+    GROUP BY e.src) q ON q.id = s.id)""")
+    parts.append(f", cv0 AS MATERIALIZED (SELECT id FROM mc{p1} WHERE c)")
+    for j in range(1, p2 + 1):
+        p = j - 1
+        parts.append(f""", unc{j} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS id FROM s6sym e LEFT JOIN cv{p} t ON t.id = e.dst
+  WHERE t.id IS NULL)
+, rb{j} AS MATERIALIZED (
+  SELECT c.id FROM cv{p} c LEFT JOIN unc{j} u ON u.id = c.id WHERE u.id IS NULL)
+, rh{j} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM s6sym e
+  JOIN rb{j} x ON x.id = e.src JOIN rb{j} y ON y.id = e.dst
+  WHERE e.src > e.dst)
+, rd{j} AS MATERIALIZED (
+  SELECT b.id FROM rb{j} b LEFT JOIN rh{j} h ON h.id = b.id WHERE h.id IS NULL)
+, cv{j} AS MATERIALIZED (
+  SELECT c.id FROM cv{p} c LEFT JOIN rd{j} r ON r.id = c.id WHERE r.id IS NULL)""")
+    parts.append(f"""SELECT v.id, (c.id IS NOT NULL) AS in_cover
+FROM s6verts v LEFT JOIN cv{p2} c ON c.id = v.id""")
+    return "\n".join(parts)
 
 
 def _msf_sql(wrange: int = MSF_W_RANGE) -> str:
@@ -1920,6 +2274,11 @@ SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
     sql["articulation_points"] = _articulation_sql()
     sql["bcc"] = _bcc_sql()
     sql["matching_family"] = _matching_family_sql()
+    sql["kclique"] = _kclique_sql()
+    sql["motif_census"] = _motif_census_sql()
+    sql["densest"] = _densest_sql()
+    sql["ordering"] = _ordering_sql()
+    sql["covers"] = _covers_sql()
     sql["msf"] = _msf_sql()
     sql["diameter_approx"] = _diameter_sql()
     sql["ppr"] = _ppr_sql()

@@ -300,3 +300,133 @@ def min_dominating_set(
     )
     edges.unpersist()
     return SuperstepResult(state=state, rounds=rounds, converged=True, metrics=metrics)
+
+
+def min_vertex_cover(
+    graph: Graph,
+    num_partitions: int | None = None,
+    max_rounds: int = 10_000,
+) -> SuperstepResult:
+    """Greedy 2-phase minimal vertex cover (min-cover.h:43-116).
+    Returns state (id: long, in_cover: boolean).
+
+    Phase 1 (log-threshold greedy): round i admits every still-
+    uncovered vertex whose RESIDUAL degree (edges to non-cover
+    vertices) is ≥ nowd, with nowd = n/2 halving each round; admitted
+    vertices' edges are charged off neighbours' residual degrees.
+    Terminates in ≤ log2(n)+2 rounds (nowd hits 0 and sweeps the
+    rest). Phase 2 (redundancy refinement): a cover vertex whose
+    neighbourhood is fully covered is redundant; each round drops the
+    redundant vertices that have no higher-id redundant neighbour
+    (so two adjacent redundant vertices are never dropped together),
+    until none remain."""
+    spark = graph.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _sym_edges(graph, P)
+    edges.count()
+    verts = graph.deduced_vertices()
+    n = verts.count()
+
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    # active = not-in-cover with residual degree > 0; d = residual deg
+    active = (
+        verts.join(deg.hint("SHUFFLE_HASH"), "id", "left")
+        .select("id", F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+        .where(F.col("d") > 0)
+        .repartition(P, "id")
+        .localCheckpoint(eager=True)
+    )
+    cover_frames: list[DataFrame] = []
+    rounds = 0
+    metrics: list[dict] = []
+    nowd = n // 2
+    while rounds < max_rounds:
+        n_active = active.count()
+        if n_active == 0:
+            break
+        rounds += 1
+        sel = active.where(F.col("d") >= nowd).select("id").localCheckpoint(eager=True)
+        n_sel = sel.count()
+        cover_frames.append(sel)
+        # charge the admitted vertices' edges off neighbours' residual degree
+        dec = (
+            edges.join(sel.withColumnRenamed("id", "dst").hint("SHUFFLE_HASH"),
+                       "dst", "left_semi")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("dec"))
+        )
+        active = (
+            active.join(sel.hint("SHUFFLE_HASH"), "id", "left_anti")
+            .join(dec.hint("SHUFFLE_HASH"), "id", "left")
+            .select("id", (F.col("d") - F.coalesce("dec", F.lit(0))).alias("d"))
+            .where(F.col("d") > 0)
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        metrics.append({"round": rounds, "phase": 1, "active": int(n_active),
+                        "selected": int(n_sel), "nowd": int(nowd)})
+        nowd //= 2
+
+    cover = cover_frames[0] if cover_frames else verts.limit(0).select("id")
+    for f in cover_frames[1:]:
+        cover = cover.unionByName(f)
+    cover = cover.repartition(P, "id").localCheckpoint(eager=True)
+
+    # phase 2: drop redundant cover vertices (all-covered neighbourhood),
+    # highest-id-first within the redundant-induced graph
+    while rounds < max_rounds:
+        # B = cover vertices with no uncovered neighbour
+        has_uncov = (
+            edges.join(cover.withColumnRenamed("id", "dst").hint("SHUFFLE_HASH"),
+                       "dst", "left_anti")
+            .select(F.col("src").alias("id"))
+            .dropDuplicates(["id"])
+        )
+        bset = cover.join(has_uncov.hint("SHUFFLE_HASH"), "id", "left_anti") \
+                    .localCheckpoint(eager=True)
+        if bset.isEmpty():
+            break
+        rounds += 1
+        # drop b in B with no B-neighbour of higher id
+        higher = (
+            edges.join(bset.withColumnRenamed("id", "src").hint("SHUFFLE_HASH"),
+                       "src", "left_semi")
+            .join(bset.withColumnRenamed("id", "dst").hint("SHUFFLE_HASH"),
+                  "dst", "left_semi")
+            .where(F.col("src") > F.col("dst"))
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates(["id"])
+        )
+        drop = bset.join(higher.hint("SHUFFLE_HASH"), "id", "left_anti") \
+                   .localCheckpoint(eager=True)
+        n_drop = drop.count()
+        if n_drop == 0:
+            break
+        cover = cover.join(drop.hint("SHUFFLE_HASH"), "id", "left_anti") \
+                     .repartition(P, "id").localCheckpoint(eager=True)
+        metrics.append({"round": rounds, "phase": 2, "dropped": int(n_drop)})
+
+    state = (
+        verts.join(cover.withColumn("_c", F.lit(True)).hint("SHUFFLE_HASH"), "id", "left")
+        .select("id", F.coalesce("_c", F.lit(False)).alias("in_cover"))
+    )
+    edges.unpersist()
+    return SuperstepResult(state=state, rounds=rounds, converged=True, metrics=metrics)
+
+
+def min_edge_cover_size(graph: Graph, matching: SuperstepResult | None = None) -> int:
+    """Minimal edge-cover SIZE (min-edge-cover.h:43-105): a maximal
+    matching covers its 2|M| endpoints with |M| edges; every other
+    non-isolated vertex takes one arbitrary incident edge — total
+    |M| + (n_nonisolated − 2|M|) = n_nonisolated − |M|, exactly the
+    reference's VSize(matched)/2 + VSize(unmatched ∧ deg>0) count."""
+    mm = matching if matching is not None else maximal_matching(graph)
+    sym = (
+        graph.symmetrized_edges()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    noniso = sym.select(F.col("src").alias("id")).dropDuplicates(["id"]).count()
+    n_matched = mm.state.where(F.col("match") >= 0).count()
+    return noniso - n_matched // 2
