@@ -840,7 +840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": pl.minhash_signatures,
         "simhash": pl.simhash,
         "embedding_topk": pl.embedding_topk,
-        "embedding_ann": pl.embedding_ann,
+        # pinned 8x4 LSH geometry: the DuckDB twin is a static SQL
+        # string, so the gate cannot follow the library's data-sized
+        # auto-params (pl.ann_auto_params — measured in BASELINE.md)
+        "embedding_ann": lambda spark, sf_dir: pl.embedding_ann(
+            spark, sf_dir, bits=pl.ANN_BITS, tables=pl.ANN_TABLES),
         "dedup_clusters": pl.dedup_clusters,
     }
 

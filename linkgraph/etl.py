@@ -139,6 +139,65 @@ def cochange_edges(
     return pairs
 
 
+def compact_vertex_ids(
+    edges: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Dense-rank arbitrary 64-bit vertex ids into [0, n) and re-key
+    the edge table with 4-byte INTs (when n < 2^31) — the
+    dictionary-encoding step for iterative jobs at scale: every
+    downstream state row, message row and shuffle key halves, which
+    at 10^9-edge scale is the difference between the edge cache +
+    partial-aggregation maps fitting executor memory or spilling.
+
+    Scale design: NO global sort / single-partition window. The dense
+    rank is built per-partition — hash-partition the distinct vertex
+    set, row_number INSIDE each partition (parallel), then add the
+    driver-collected per-partition offsets (one tiny P-row collect).
+    Deterministic: hash partitioning + in-partition (id) order.
+
+    Returns (edges', mapping) where edges' has int src/dst and
+    mapping is (id: original, cid: int) for joining results back.
+    """
+    spark = edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(P, "id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {r["pid"]: r["c"] for r in
+             verts.groupBy("pid").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    n = acc
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("id")
+    id_t = "int" if n < 2**31 else "long"
+    mapping = (
+        verts.withColumn("ln", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select("id", (F.col("off") + F.col("ln") - 1).cast(id_t).alias("cid"))
+        .persist()
+    )
+    mapping.count()
+    verts.unpersist()
+    out = (
+        edges.join(mapping.select(F.col("id").alias("src"), F.col("cid").alias("_s")), "src")
+        .join(mapping.select(F.col("id").alias("dst"), F.col("cid").alias("_d")), "dst")
+        .select(
+            F.col("_s").alias("src"), F.col("_d").alias("dst"),
+            *[c for c in edges.columns if c not in ("src", "dst")],
+        )
+    )
+    return out, mapping
+
+
 def build_link_graph(repo_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full ETL: returns (vertices, edges) with both edge kinds."""
     v = file_vertices(repo_df).persist()

@@ -26,15 +26,32 @@ LANG_MARKERS = [("en", "the"), ("de", "der"), ("fr", "le"), ("es", "el"), ("zh",
 MINHASH_SEEDS = 16
 LSH_BAND_ROWS = 4
 NGRAM_MAX_DF = 256  # drop shingles shared by more docs before the pair join
-ANN_BITS = 8        # hyperplane-LSH signature width
-ANN_TABLES = 4      # independent hash tables (OR-construction).
+ANN_BITS = 8        # PINNED gate config (the DuckDB oracle twin is a
+ANN_TABLES = 4      # static SQL string, so the driver gate runs fixed
+#                     8×4; the library DEFAULT is bits=None → auto).
 # Measured recall@10 vs the exact baseline at sf0.1 (N=2000, dim 64,
 # near-random synthetic embeddings — see BASELINE.md for the full
-# sweep): tables×bits 2×8→0.26, 4×8→0.44, 8×8→0.70, 4×6→0.71.
+# sweep): tables×bits 2×8→0.26, 4×8→0.44, 8×8→0.70, 4×6→0.71, 4×5→0.85.
 # Probed fraction ≈ tables·(bits+1)/2^bits, independent of N: at
 # larger N raise `bits` ~log2(N) to hold bucket size, raise `tables`
 # to buy recall back — each table is one extra linear pass.
 ANN_QUANT = 1024.0  # fixed-point quantization for exact cross-engine signs
+
+
+def ann_auto_params(n: int) -> tuple[int, int]:
+    """Default LSH geometry from the corpus size: bits = log2(n) − 5
+    (clamped to [4, 20]) holds the EXPECTED BUCKET OCCUPANCY near
+    2^5 = 32 as N grows, which is what keeps the probed fraction —
+    tables·(bits+1)·occupancy — flat instead of degrading to a linear
+    scan (bits too low) or empty buckets (bits too high). Tables stay
+    at the measured 4-table OR-construction: with occupancy-32 buckets
+    and single-bit multiprobe it measured recall@10 = 0.85 on the
+    adversarial near-random case (BASELINE.md); raise tables for a
+    higher floor — each table is one extra linear pass + join."""
+    import math
+
+    bits = min(20, max(4, int(math.log2(max(n, 2))) - 5))
+    return bits, 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,9 +393,9 @@ def embedding_ann(
     sf_dir: str,
     n_queries: int = 10,
     k: int = 10,
-    bits: int = ANN_BITS,
+    bits: int | None = None,
     multiprobe: bool = True,
-    tables: int = ANN_TABLES,
+    tables: int | None = None,
 ) -> DataFrame:
     """Bucketed approximate nearest neighbors: random-hyperplane LSH
     signatures (one sign bit per hyperplane over the quantized
@@ -402,7 +419,20 @@ def embedding_ann(
     from pyspark.sql.window import Window
 
     emb = _quantized_emb(spark, sf_dir)
-    dim = len(emb.select("v").first()["v"])
+    # dim probe: one-row LIMIT scan on the RAW parquet (a single
+    # row-group read; the list<float> element count is not in the
+    # parquet schema, so this is the cheapest exact source) — never
+    # the derived quantized frame, whose probe would execute the
+    # quantization expressions
+    dim = int(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    )
+    if bits is None or tables is None:
+        n_vec = emb.count()
+        auto_bits, auto_tables = ann_auto_params(n_vec)
+        bits = bits if bits is not None else auto_bits
+        tables = tables if tables is not None else auto_tables
 
     def sig_col(table: int):
         planes = ann_hyperplanes(dim, bits, table=table)

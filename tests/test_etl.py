@@ -88,3 +88,26 @@ def test_build_link_graph_hub_skew(repos):
     indeg = ep.groupby("dst").size()
     # the planted hub (file 0 per repo) must dominate in-degree
     assert indeg.max() > 3 * indeg.median()
+
+
+def test_compact_vertex_ids(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.etl import compact_vertex_ids
+
+    B = 10**13
+    rows = [(B + i * 7, B + ((i * 13 + 5) % 40) * 7) for i in range(200)]
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    out, mp = compact_vertex_ids(e, num_partitions=4)
+    m = {r["id"]: r["cid"] for r in mp.collect()}
+    n = len(m)
+    # dense bijection into [0, n), int type below 2^31
+    assert sorted(m.values()) == list(range(n))
+    assert dict(out.dtypes)["src"] == "int"
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted((m[a], m[b]) for a, b in rows)
+    assert got == want
+    # deterministic: second derivation identical
+    _, mp2 = compact_vertex_ids(e, num_partitions=4)
+    assert {r["id"]: r["cid"] for r in mp2.collect()} == m

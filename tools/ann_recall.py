@@ -40,12 +40,23 @@ def main() -> int:
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     spark = get_spark(app_name="ann-recall")
     exact = topk_sets(pl.embedding_topk(spark, sf_dir, n_queries=nq, k=k))
-    multi = topk_sets(pl.embedding_ann(spark, sf_dir, n_queries=nq, k=k, multiprobe=True))
-    single = topk_sets(pl.embedding_ann(spark, sf_dir, n_queries=nq, k=k, multiprobe=False))
+    # library defaults = auto geometry (pl.ann_auto_params)
+    auto = topk_sets(pl.embedding_ann(spark, sf_dir, n_queries=nq, k=k, multiprobe=True))
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    auto_bits, auto_tables = pl.ann_auto_params(n_vec)
+    # pinned gate geometry (8x4), multi- and single-probe
+    multi = topk_sets(pl.embedding_ann(spark, sf_dir, n_queries=nq, k=k,
+                                       bits=pl.ANN_BITS, tables=pl.ANN_TABLES,
+                                       multiprobe=True))
+    single = topk_sets(pl.embedding_ann(spark, sf_dir, n_queries=nq, k=k,
+                                        bits=pl.ANN_BITS, tables=pl.ANN_TABLES,
+                                        multiprobe=False))
     print(json.dumps({
-        "sf_dir": sf_dir, "n_queries": nq, "k": k,
-        "multiprobe_recall": round(recall(exact, multi), 4),
-        "singleprobe_recall": round(recall(exact, single), 4),
+        "sf_dir": sf_dir, "n_queries": nq, "k": k, "n_vectors": n_vec,
+        "auto_bits": auto_bits, "auto_tables": auto_tables,
+        "auto_recall": round(recall(exact, auto), 4),
+        "gate8x4_multiprobe_recall": round(recall(exact, multi), 4),
+        "gate8x4_singleprobe_recall": round(recall(exact, single), 4),
     }))
     spark.stop()
     return 0

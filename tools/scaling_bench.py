@@ -11,7 +11,25 @@ Each parallelism level runs in its own subprocess (one JVM per
 master). Results are printed as JSON and appended to BASELINE.md by
 the caller.
 
-Usage: python tools/scaling_bench.py [n_vertices] [avg_degree] [rounds]
+Modes:
+  join        — the round-3 configuration (shuffle partitions = cores,
+                raw 64-bit ids, default state storage) kept for
+                baseline comparability.
+  join_tuned  — the at-scale configuration: shuffle partitions sized
+                by DATA VOLUME (~128 MB of raw edge bytes per
+                partition, the cluster-sizing rule — at 512M edges
+                cores-as-partitions means 64M-row tasks whose partial
+                aggregation hash maps spill), dense int32 vertex ids
+                (linkgraph.etl.compact_vertex_ids halves edge cache,
+                message rows and shuffle keys), and serialized+
+                compressed per-round state truncation
+                (SPARK_GRAFT_STATE_LEVEL=MEMORY_AND_DISK, the
+                SERIALIZED level in PySpark 4 — the JVM localCheckpoint
+                default is the deserialized DESER variant — plus
+                spark.rdd.compress).
+  csr         — the CSR-block mapInPandas kernel.
+
+Usage: python tools/scaling_bench.py [n_vertices] [avg_degree] [rounds] [n_lo] [mode]
 """
 
 from __future__ import annotations
@@ -23,22 +41,41 @@ import sys
 
 WORKER = r"""
 import json, os, statistics, sys, time
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 sys.path.insert(0, {repo!r})
+
+cpus = int(sys.argv[1]); nv = int(sys.argv[2]); deg = int(sys.argv[3]); rounds = int(sys.argv[4])
+mode = sys.argv[5] if len(sys.argv) > 5 else "join"
+tuned = mode.endswith("_tuned")
+
+extra = {{}}
+if tuned:
+    # partitions sized by data (~128 MB of raw 16-byte edge rows per
+    # partition), never below the core count; state truncation
+    # serialized + lz4-compressed
+    P = max(cpus, (nv * deg * 16) >> 27)
+    os.environ.setdefault("SPARK_GRAFT_STATE_LEVEL", "MEMORY_AND_DISK")
+    extra["spark.rdd.compress"] = "true"
+else:
+    P = cpus
+
 from linkgraph.session import get_spark
 from linkgraph.datagen import skewed_graph
 from linkgraph.graph import Graph
 from linkgraph.algos.pagerank import pagerank
 from linkgraph.csr import pagerank_csr
 
-cpus = int(sys.argv[1]); nv = int(sys.argv[2]); deg = int(sys.argv[3]); rounds = int(sys.argv[4])
-mode = sys.argv[5] if len(sys.argv) > 5 else "join"
-spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
-e = skewed_graph(spark, n_vertices=nv, avg_degree=deg, seed=42).repartition(cpus, "src").persist()
+spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=P, extra_conf=extra)
+e = skewed_graph(spark, n_vertices=nv, avg_degree=deg, seed=42)
+if tuned:
+    from linkgraph.etl import compact_vertex_ids
+    e, _mapping = compact_vertex_ids(e, num_partitions=P)
+e = e.repartition(P, "src").persist()
 n_edges = e.count()
 g = Graph.from_edges(e, directed=True)
 t0 = time.time()
-fn = pagerank_csr if mode == "csr" else pagerank
+fn = pagerank_csr if mode.startswith("csr") else pagerank
 res = fn(g, max_iter=rounds, tol=0.0)
 res.state.count()
 wall = time.time() - t0
@@ -46,10 +83,12 @@ secs = [m["superstep_sec"] for m in res.metrics]
 # steady-state: median of the last half (first rounds pay JIT/codegen
 # warm-up, a one-time cost irrelevant at production iteration counts)
 steady = statistics.median(secs[len(secs) // 2:])
-print(json.dumps({{"cpus": cpus, "mode": mode, "n_edges": n_edges, "rounds": rounds,
+print(json.dumps({{"cpus": cpus, "mode": mode, "partitions": P,
+                  "n_edges": n_edges, "rounds": rounds,
                   "wall_s": round(wall, 2),
                   "superstep_secs": [round(s, 2) for s in secs],
                   "steady_sec_per_superstep": round(steady, 3),
+                  "min_sec_per_superstep": round(min(secs), 3),
                   "edges_per_sec_per_superstep": round(n_edges / steady, 1)}}))
 spark.stop()
 """
@@ -77,11 +116,13 @@ def main() -> None:
     lo = run_level(repo, n_lo, nv, deg, rounds, mode)
     hi = run_level(repo, n_hi, nv, deg, rounds, mode)
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / (n_hi / n_lo)
+    eff_min = (lo["min_sec_per_superstep"] / hi["min_sec_per_superstep"]) / (n_hi / n_lo)
     print(json.dumps({
         "job": f"pagerank_fixed_rounds[{mode}]",
         "n_vertices": nv, "avg_degree": deg, "rounds": rounds,
         f"local{n_lo}": lo, f"local{n_hi}": hi,
         f"scaling_efficiency_{n_lo}_to_{n_hi}": round(eff, 3),
+        f"scaling_efficiency_min_{n_lo}_to_{n_hi}": round(eff_min, 3),
     }))
 
 
