@@ -78,6 +78,11 @@ DEGEN_UNROLL = 14      # measured 8 peel waves at sf0.01
 ONION_UNROLL = 22      # measured 14 layers at sf0.01
 MC_P1_UNROLL = 14      # measured 10 threshold rounds at sf0.01 (≤ log2 n + 2)
 MC_P2_UNROLL = 8       # measured 4 refinement rounds at sf0.01
+COLOR_UNROLL = 18      # greedy-coloring priority-DAG depth budget on the %6 graph
+FLUID_S = 6            # fluid-community seed count
+FLUID_ROUNDS = 4       # fixed synchronous fluid rounds (iter_max analogue)
+KCS_K = 4              # k-core-search k (s6 degeneracy is 14 at sf0.01)
+KCENTER_K = 3          # greedy k-center centers on the %24-thinned graph
 
 
 # ---------------------------------------------------------------------------
@@ -244,20 +249,19 @@ def _q_kshell(spark, sf_dir):
     )
 
 
-def _q_eigenvector(spark, sf_dir):
-    from linkgraph.algos.centrality import eigenvector_centrality
+def _q_eig_katz(spark, sf_dir):
+    """Eigenvector + Katz centrality as one two-column gate (both are
+    fixed-iteration linear recurrences over the same directed edge
+    set; merged to keep the registry inside the driver's 50-query
+    window without losing either per-vertex value check)."""
+    from linkgraph.algos.centrality import eigenvector_centrality, katz_centrality
 
-    res = eigenvector_centrality(part_graph(spark, sf_dir), max_iter=EIG_ITERS, tol=0.0)
-    return res.state.select("id", F.round("centrality", 8).alias("centrality"))
-
-
-def _q_katz(spark, sf_dir):
-    from linkgraph.algos.centrality import katz_centrality
-
-    res = katz_centrality(
-        part_graph(spark, sf_dir), alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ITERS, tol=0.0
+    g = part_graph(spark, sf_dir)
+    res = eigenvector_centrality(g, max_iter=EIG_ITERS, tol=0.0)
+    resk = katz_centrality(g, alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ITERS, tol=0.0)
+    return res.state.select("id", F.round("centrality", 8).alias("eig")).join(
+        resk.state.select("id", F.round("centrality", 8).alias("katz")), "id"
     )
-    return res.state.select("id", F.round("centrality", 8).alias("centrality"))
 
 
 def _min_sources(g, k):
@@ -463,33 +467,60 @@ def _q_diameter(spark, sf_dir):
     """Two-phase approximate diameter + radius
     (flash/measurement/diameter-approx.h:45-108, deterministic min-id
     phase-1 sources) on the thinned graph (the full co-occurrence
-    graph has diameter ~3 — trivial)."""
-    from linkgraph.algos.paths import diameter_approx
+    graph has diameter ~3 — trivial), PLUS greedy k-center
+    (flash/measurement/k-center.h:42-75) on the same graph: per-vertex
+    distance-to-nearest-center rows carrying the diameter/radius
+    scalars as constant columns."""
+    from linkgraph.algos.paths import diameter_approx, k_center
 
-    res = diameter_approx(_thinned_graph(spark, sf_dir), k=DIAM_K, directed=False)
+    g = _thinned_graph(spark, sf_dir)
+    res = diameter_approx(g, k=DIAM_K, directed=False)
     _assert_unroll(res, 2 * DIAM_LAYERS, "diameter_approx")
-    return res.state
+    resk = k_center(g, k=KCENTER_K, directed=False)
+    _assert_unroll(resk, KCENTER_K * DIAM_LAYERS, "k_center")
+    return resk.state.select("id", "dis").crossJoin(F.broadcast(res.state))
 
 
-def _q_ppr(spark, sf_dir):
-    """Personalized PageRank from the min vertex id, undirected edge
-    set, alpha = 0.5 fixed iterations (flash/ranking/ppr.h:41-73)."""
-    from linkgraph.algos.pagerank import ppr
+def _q_rank_family(spark, sf_dir):
+    """Personalized PageRank from the min vertex id (undirected,
+    alpha = 0.5, flash/ranking/ppr.h:41-73) AND ArticleRank (directed,
+    damping 0.85, flash/ranking/articlerank.h:40-72) as one
+    two-column gate — both fixed-iteration rank recurrences over the
+    same graph, merged for the 50-entry driver window."""
+    from linkgraph.algos.pagerank import articlerank, ppr
 
     g = part_graph(spark, sf_dir)
     source = g.deduced_vertices().agg(F.min("id")).collect()[0][0]
     res = ppr(g, source=int(source), alpha=PPR_ALPHA, max_iter=PPR_ITERS)
-    return res.state.select("id", F.round("rank", 8).alias("rank"))
+    resa = articlerank(g, max_iter=AR_ITERS, damping=AR_DAMPING)
+    return res.state.select("id", F.round("rank", 8).alias("ppr")).join(
+        resa.state.select("id", F.round("rank", 8).alias("articlerank")), "id"
+    )
 
 
-def _q_articlerank(spark, sf_dir):
-    """ArticleRank on the directed co-occurrence edge set, damping
-    0.85 fixed iterations (flash/ranking/articlerank.h:40-72)."""
-    from linkgraph.algos.pagerank import articlerank
+def _q_coloring(spark, sf_dir):
+    """Greedy graph coloring (flash/clustering/color.h:47-85) on the
+    %6-thinned graph — the unique Jones-Plassmann fixpoint along the
+    (degree, id) priority order, so per-vertex colors are exactly
+    checkable."""
+    from linkgraph.algos.coloring import greedy_color
 
-    g = part_graph(spark, sf_dir)
-    res = articlerank(g, max_iter=AR_ITERS, damping=AR_DAMPING)
-    return res.state.select("id", F.round("rank", 8).alias("rank"))
+    res = greedy_color(_subgraph_graph(spark, sf_dir))
+    _assert_unroll(res, COLOR_UNROLL, "greedy_color")
+    return res.state.select("id", "color")
+
+
+def _q_fluid(spark, sf_dir):
+    """Fluid communities (flash/clustering/fluid-community.h:43-105),
+    deterministic synchronous variant: seeds = the FLUID_S smallest
+    ids, FLUID_ROUNDS fixed rounds, count-then-divide densities so the
+    argmax compares bit-identical doubles in both engines."""
+    from linkgraph.algos.coloring import fluid_community
+
+    res = fluid_community(
+        part_graph(spark, sf_dir), n_communities=FLUID_S, max_round=FLUID_ROUNDS
+    )
+    return res.state.select("id", "lab")
 
 
 def _q_clustering_directed(spark, sf_dir):
@@ -756,10 +787,17 @@ def _q_ordering(spark, sf_dir):
     _assert_unroll(r1, DEGEN_UNROLL, "degeneracy_ordering")
     r2 = onion_layers(g, shell=sh)
     _assert_unroll(r2, ONION_UNROLL, "onion_layers")
+    # k-core-search (flash/core/k-core-search.h:48-64): the PUSH-
+    # decrement wave engine path; the oracle derives membership
+    # independently from the H-index core numbers (core >= k)
+    from linkgraph.algos.cores import k_core_search
+
+    rk = k_core_search(g, k=KCS_K)
     return (
         sh.select("id", F.col("shell").cast("long").alias("core"))
         .join(r1.state.select("id", F.col("rank").alias("deg_rank")), "id")
         .join(r2.state.select("id", F.col("layer").alias("onion_layer")), "id")
+        .join(rk.state.select("id", "in_kcore"), "id")
     )
 
 
@@ -788,7 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assortativity, node/edge boundary → boundary, is_simple_path/
     all_simple_paths → simple_paths, doc_sha ⊂ blob_stats,
     token_count/quality_score/lang_id → doc_features, lsh_candidates
-    ⊂ minhash_signatures + dedup_clusters."""
+    ⊂ minhash_signatures + dedup_clusters, eigenvector/katz →
+    eig_katz, ppr/articlerank → rank_family, k_core_search → ordering
+    (in_kcore column), k_center → diameter_approx (dis column)."""
     return {
         # graph ETL + flagship algorithms (SURVEY.md §2.2)
         "part_edges": _q_part_edges,
@@ -802,8 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "hits": _q_hits,
         "kshell": _q_kshell,
-        "eigenvector": _q_eigenvector,
-        "katz": _q_katz,
+        "eig_katz": _q_eig_katz,
         "closeness": _q_closeness,
         "apsp": _q_apsp,
         "sssp_avg_length": _q_avg_length,
@@ -816,8 +855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_family": _q_matching_family,
         "msf": _q_msf,
         "diameter_approx": _q_diameter,
-        "ppr": _q_ppr,
-        "articlerank": _q_articlerank,
+        "rank_family": _q_rank_family,
+        "coloring": _q_coloring,
+        "fluid": _q_fluid,
         "clustering_directed": _q_clustering_directed,
         "assortativity": _q_assortativity,
         "avg_degree_connectivity": _q_avg_degree_connectivity,
@@ -1865,9 +1905,13 @@ def _ordering_sql(
     JOIN onr{k} r ON r.id = e.dst
     JOIN s6core cs ON cs.id = e.src
     WHERE cs.core = r.core GROUP BY e.src) q ON q.id = s.id)""")
+    # in_kcore: the k-core-search gate column, derived INDEPENDENTLY
+    # of the engine's push-decrement wave — membership of the k-core
+    # is exactly core number >= k
     parts.append(f"""SELECT c.id, c.core,
   CAST(coalesce(d.rnk, -1) AS BIGINT) AS deg_rank,
-  CAST(coalesce(o.layer, -1) AS BIGINT) AS onion_layer
+  CAST(coalesce(o.layer, -1) AS BIGINT) AS onion_layer,
+  (c.core >= {KCS_K}) AS in_kcore
 FROM s6core c JOIN dg{degr} d ON d.id = c.id JOIN on{onr} o ON o.id = c.id""")
     return "\n".join(parts)
 
@@ -1981,9 +2025,49 @@ def _diameter_sql(k: int = DIAM_K, layers: int = DIAM_LAYERS) -> str:
     parts.append(
         f""", e2 AS MATERIALIZED (SELECT id, max(d) AS ecc FROM q{layers} GROUP BY id)
 , ecc AS (SELECT id, max(ecc) AS ecc FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) GROUP BY id)
-SELECT CAST(max(ecc) AS BIGINT) AS diameter,
-       CAST(min(CASE WHEN ecc > 0 THEN ecc END) AS BIGINT) AS radius
-FROM ecc"""
+, diam AS MATERIALIZED (
+  SELECT CAST(max(ecc) AS BIGINT) AS diameter,
+         CAST(min(CASE WHEN ecc > 0 THEN ecc END) AS BIGINT) AS radius
+  FROM ecc)
+, bdeg2 AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM bsym GROUP BY src)
+, kc1 AS MATERIALIZED (
+  SELECT v.id FROM bverts v JOIN bdeg2 d ON d.id = v.id
+  ORDER BY d.d DESC, v.id ASC LIMIT 1)"""
+    )
+    # greedy k-center (k-center.h): kc centers chosen sequentially —
+    # each single-source BFS folds dis = min(dis, dist(center, ·));
+    # the next center maximizes dis with unreachable (NULL) first,
+    # min id on ties — mirroring the Spark k_center() rule exactly
+    for j in range(1, KCENTER_K + 1):
+        parts.append(
+            f", k{j}b0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS d FROM kc{j})"
+        )
+        for i in range(1, layers + 1):
+            p = i - 1
+            parts.append(f""", k{j}b{i} AS MATERIALIZED (
+  SELECT id, min(d) AS d FROM (
+    SELECT id, d FROM k{j}b{p}
+    UNION ALL
+    SELECT e.dst AS id, r.d + 1 AS d
+    FROM bsym e JOIN k{j}b{p} r ON r.id = e.src AND r.d = {p}
+  ) GROUP BY id)""")
+        prev = (
+            f"SELECT v.id, b.d AS dis FROM bverts v LEFT JOIN k{j}b{layers} b ON b.id = v.id"
+            if j == 1
+            else f"""SELECT s.id,
+    CASE WHEN s.dis IS NULL THEN b.d
+         WHEN b.d IS NULL THEN s.dis
+         ELSE least(s.dis, b.d) END AS dis
+  FROM dis{j - 1} s LEFT JOIN k{j}b{layers} b ON b.id = s.id"""
+        )
+        parts.append(f", dis{j} AS MATERIALIZED (\n  {prev})")
+        if j < KCENTER_K:
+            parts.append(f""", kc{j + 1} AS MATERIALIZED (
+  SELECT id FROM dis{j}
+  ORDER BY (dis IS NULL) DESC, dis DESC, id ASC LIMIT 1)""")
+    parts.append(
+        f"""SELECT s.id, CAST(coalesce(s.dis, -1) AS BIGINT) AS dis, d.diameter, d.radius
+FROM dis{KCENTER_K} s CROSS JOIN diam d"""
     )
     return "\n".join(parts)
 
@@ -2137,6 +2221,110 @@ def _articlerank_sql(iters: int = AR_ITERS, damping: float = AR_DAMPING) -> str:
     return "\n".join(parts)
 
 
+def _merge_gate_sqls(first: str, second: str, final: str) -> str:
+    """Splice two self-contained oracle SQLs (each of the form
+    ``WITH {PART_EDGES_SQL} <CTE chain> SELECT ...``) into one query:
+    keep the first's CTE chain, append the second's chain (their CTE
+    names are disjoint by construction), and replace both trailing
+    SELECTs with ``final``. Used by the merged two-column gates so
+    each member keeps its original single-purpose SQL builder."""
+    head = first.rsplit("\nSELECT", 1)[0]
+    tail = second.rsplit("\nSELECT", 1)[0]
+    prefix = f"WITH {PART_EDGES_SQL}"
+    assert tail.startswith(prefix), "second oracle must start with the shared prefix"
+    return head + tail[len(prefix):] + "\n" + final
+
+
+def _eig_katz_sql() -> str:
+    return _merge_gate_sqls(
+        _eigenvector_sql(),
+        _katz_sql(),
+        f"""SELECT y.id, round(y.x, 8) AS eig,
+  round(z.x / (SELECT CASE WHEN sqrt(sum(x*x)) > 0 THEN sqrt(sum(x*x))
+                ELSE 1.0 END FROM z{KATZ_ITERS}), 8) AS katz
+FROM y{EIG_ITERS} y JOIN z{KATZ_ITERS} z ON z.id = y.id""",
+    )
+
+
+def _rank_family_sql() -> str:
+    return _merge_gate_sqls(
+        _ppr_sql(),
+        _articlerank_sql(),
+        f"""SELECT p.id, round(p.rank, 8) AS ppr, round(a.rank, 8) AS articlerank
+FROM p{PPR_ITERS} p JOIN a{AR_ITERS} a ON a.id = p.id""",
+    )
+
+
+def _coloring_sql(rounds: int = COLOR_UNROLL) -> str:
+    """Unrolled greedy-coloring fixpoint on the %6 graph (color.h):
+    per round every vertex takes the mex of its HIGHER-(deg, id)-
+    priority neighbors' colors; extra rounds at the fixpoint are
+    no-ops, so a generous fixed unroll equals the Spark fixpoint
+    (guarded by _assert_unroll on the Spark side)."""
+    parts = [f"WITH {PART_EDGES_SQL}{_S6_SQL}"]
+    parts.append(""", chi AS MATERIALIZED (
+  SELECT s.src, s.dst FROM s6sym s
+  JOIN s6deg a ON a.id = s.src JOIN s6deg b ON b.id = s.dst
+  WHERE (a.d > b.d) OR (a.d = b.d AND s.src > s.dst))""")
+    parts.append(
+        ", col0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS c FROM s6verts)"
+    )
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""", cu{k} AS MATERIALIZED (
+  SELECT o.dst AS id, list(DISTINCT s.c) AS used
+  FROM chi o JOIN col{p} s ON s.id = o.src GROUP BY o.dst)
+, col{k} AS MATERIALIZED (
+  SELECT v.id, CASE WHEN u.used IS NULL THEN v.c
+    ELSE list_min(list_filter(range(0, len(u.used) + 1),
+                              x -> NOT list_contains(u.used, x)))
+  END AS c
+  FROM col{p} v LEFT JOIN cu{k} u ON u.id = v.id)""")
+    parts.append(f"SELECT id, CAST(c AS BIGINT) AS color FROM col{rounds}")
+    return "\n".join(parts)
+
+
+def _fluid_sql(s: int = FLUID_S, rounds: int = FLUID_ROUNDS, eps: float = 1e-10) -> str:
+    """Unrolled synchronous fluid-community rounds
+    (fluid-community.h, deterministic variant): density = count/cnt
+    computed as ONE division so both engines compare bit-identical
+    doubles; argmax ties -> smallest label; strict +eps improvement
+    to switch."""
+    parts = [
+        f"WITH {PART_EDGES_SQL}",
+        f", fsd AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {s})",
+        ", fl0 AS MATERIALIZED (SELECT v.id,"
+        " CAST(CASE WHEN f.id IS NOT NULL THEN v.id ELSE -1 END AS BIGINT) AS lab"
+        " FROM verts v LEFT JOIN fsd f ON f.id = v.id)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""", fn{k} AS MATERIALIZED (
+  SELECT lab, count(*) AS n FROM fl{p} WHERE lab >= 0 GROUP BY lab)
+, fc{k} AS MATERIALIZED (
+  SELECT t.id, t.lab, count(*) AS c FROM (
+    SELECT e.dst AS id, s.lab FROM sym e JOIN fl{p} s ON s.id = e.src AND s.lab >= 0
+    UNION ALL
+    SELECT id, lab FROM fl{p} WHERE lab >= 0) t
+  GROUP BY t.id, t.lab)
+, fd{k} AS MATERIALIZED (
+  SELECT c.id, c.lab, CAST(c.c AS DOUBLE) / n.n AS d
+  FROM fc{k} c JOIN fn{k} n ON n.lab = c.lab)
+, fb{k} AS MATERIALIZED (
+  SELECT m.id, m.bd, min(x.lab) AS blab
+  FROM (SELECT id, max(d) AS bd FROM fd{k} GROUP BY id) m
+  JOIN fd{k} x ON x.id = m.id AND x.d = m.bd GROUP BY m.id, m.bd)
+, fl{k} AS MATERIALIZED (
+  SELECT s.id, CAST(CASE
+    WHEN s.lab = -1 THEN (CASE WHEN b.bd > {eps} THEN b.blab ELSE -1 END)
+    WHEN b.bd > coalesce(cd.d, 0.0) + {eps} THEN b.blab
+    ELSE s.lab END AS BIGINT) AS lab
+  FROM fl{p} s LEFT JOIN fb{k} b ON b.id = s.id
+  LEFT JOIN fd{k} cd ON cd.id = s.id AND cd.lab = s.lab)""")
+    parts.append(f"SELECT id, lab FROM fl{rounds}")
+    return "\n".join(parts)
+
+
 def _dfs_invariants_sql(layers: int = BFS_LAYERS) -> str:
     """The oracle's half of the DFS invariant gate: from reachability
     alone (undirected BFS from the min id), the preorder summary is
@@ -2266,8 +2454,7 @@ SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
     sql["sssp"] = _sssp_sql()
     sql["hits"] = _hits_sql()
     sql["kshell"] = _kshell_sql()
-    sql["eigenvector"] = _eigenvector_sql()
-    sql["katz"] = _katz_sql()
+    sql["eig_katz"] = _eig_katz_sql()
     sql["closeness"] = _closeness_sql()
     sql["apsp"] = _apsp_sql()
     sql["sssp_avg_length"] = _avg_length_sql()
@@ -2285,8 +2472,9 @@ SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
     sql["covers"] = _covers_sql()
     sql["msf"] = _msf_sql()
     sql["diameter_approx"] = _diameter_sql()
-    sql["ppr"] = _ppr_sql()
-    sql["articlerank"] = _articlerank_sql()
+    sql["rank_family"] = _rank_family_sql()
+    sql["coloring"] = _coloring_sql()
+    sql["fluid"] = _fluid_sql()
     sql["dfs"] = _dfs_invariants_sql()
     sql["clustering_directed"] = _clustering_directed_sql()
     sql["assortativity"] = (

@@ -35,7 +35,10 @@ def main(argv: list[str] | None = None) -> int:
         "kshell", "louvain", "closeness", "betweenness", "voterank", "sssp_path",
         "eigenvector", "katz", "scc", "ppr", "articlerank", "bfs_tree",
         "bridges", "cut_points", "bcc", "mis", "maximal_matching",
-        "min_dominating_set", "msf", "harmonic", "diameter_approx", "custom",
+        "min_dominating_set", "msf", "harmonic", "diameter_approx",
+        "kclique", "motif_census", "densest", "degeneracy_ordering",
+        "onion_layers", "min_vertex_cover", "color", "fluid",
+        "k_core_search", "k_center", "custom",
     ])
     ap.add_argument("--edges", required=True, help="parquet with (src,dst[,props])")
     ap.add_argument("--vertices", default=None, help="optional parquet with (id,...)")
@@ -188,6 +191,46 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algos.paths import diameter_approx
         res = diameter_approx(g, k=args.k, engine=eng,
                               num_partitions=args.partitions)
+    elif args.algo == "kclique":
+        from linkgraph.algos.subgraph import kclique_counts
+        from linkgraph.engine import SuperstepResult
+        res = SuperstepResult(state=kclique_counts(g, ks=(3, args.k)),
+                              rounds=0, converged=True, metrics=[])
+    elif args.algo == "motif_census":
+        from linkgraph.algos.subgraph import motif_census
+        from linkgraph.engine import SuperstepResult
+        res = SuperstepResult(state=motif_census(g), rounds=0,
+                              converged=True, metrics=[])
+    elif args.algo == "densest":
+        from linkgraph.algos.subgraph import densest_subgraph
+        from linkgraph.engine import SuperstepResult
+        res = SuperstepResult(state=densest_subgraph(g), rounds=0,
+                              converged=True, metrics=[])
+    elif args.algo == "degeneracy_ordering":
+        from linkgraph.algos.ordering import degeneracy_ordering
+        res = degeneracy_ordering(g, num_partitions=args.partitions)
+    elif args.algo == "onion_layers":
+        from linkgraph.algos.ordering import onion_layers
+        res = onion_layers(g, num_partitions=args.partitions)
+    elif args.algo == "min_vertex_cover":
+        from linkgraph.algos.matching import min_vertex_cover
+        res = min_vertex_cover(g, num_partitions=args.partitions)  # noqa: returns SuperstepResult
+    elif args.algo == "color":
+        from linkgraph.algos.coloring import greedy_color
+        res = greedy_color(g, engine=eng, num_partitions=args.partitions)
+    elif args.algo == "fluid":
+        from linkgraph.algos.coloring import fluid_community
+        res = fluid_community(g, n_communities=args.k,
+                              max_round=args.max_round, engine=eng,
+                              num_partitions=args.partitions)
+    elif args.algo == "k_core_search":
+        from linkgraph.algos.cores import k_core_search
+        res = k_core_search(g, k=args.k, engine=eng,
+                            num_partitions=args.partitions)
+    elif args.algo == "k_center":
+        from linkgraph.algos.paths import k_center
+        res = k_center(g, k=args.k, engine=eng,
+                       num_partitions=args.partitions)
     elif args.algo in ("bridges", "cut_points", "bcc"):
         from linkgraph.algos.biconnectivity import biconnectivity
         from linkgraph.engine import SuperstepResult

@@ -1,0 +1,225 @@
+"""Greedy graph coloring and fluid communities.
+
+Semantics per the reference's Flash clustering apps:
+
+* ``greedy_color`` — apps/flash/clustering/color.h:47-85: every vertex
+  repeatedly takes the smallest non-negative color absent from its
+  HIGHER-PRIORITY neighborhood, where u has priority over v iff
+  (deg(u), id(u)) > (deg(v), id(v)) lexicographically (color.h's
+  ``check``: s.deg > d.deg || (s.deg == d.deg && sid > did)).  The
+  priority relation is a total order, so the fixpoint is unique (the
+  Jones–Plassmann coloring along the degree-then-id order) and the
+  synchronous iteration below converges in priority-DAG-depth rounds —
+  identical output to the reference independent of execution order.
+
+* ``fluid_community`` — apps/flash/clustering/fluid-community.h:43-105:
+  s seed vertices start one community each; every round a vertex adopts
+  the community with the highest density sum d[i] = Σ 1/cnt[i] over
+  itself and its neighbors, switching only on a strict (+1e-10)
+  improvement.  The reference seeds with rand_r(time(NULL)) and updates
+  sequentially (cnt_loc mutates mid-scan), so its per-vertex output is
+  run-dependent; this implementation is the deterministic synchronous
+  variant — seeds are the s smallest vertex ids, cnt is frozen per
+  round, and ties break toward the smallest community id — making the
+  result reproducible and oracle-checkable.
+
+Spark plan notes (100 TB shape): coloring scatters colors over a
+statically ORIENTED higher→lower priority edge frame (built once) and
+only re-evaluates vertices whose higher-priority neighborhood changed
+(delta frontier); the mex is a JVM-side array expression over the
+collected neighbor-color set (bounded by degree), never a Python UDF.
+Fluid keeps the per-community size table (s rows) broadcast and does
+one edges⋈state scatter + one (dst, lab) partial-aggregated sum per
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.graph import Graph
+from linkgraph.joins import state_join
+
+
+def _sym_simple(graph: Graph, P: int) -> DataFrame:
+    return (
+        graph.symmetrized_edges()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(P, "src")
+    )
+
+
+def greedy_color(
+    graph: Graph,
+    engine: SuperstepEngine | None = None,
+    max_iter: int = 10_000,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Returns state (id: long, color: long) — the unique greedy
+    coloring along the (degree desc, id desc) priority order."""
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = _sym_simple(graph, P).persist()
+    n_edges = sym.count()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    verts = graph.deduced_vertices()
+
+    # orient each undirected pair higher-priority -> lower-priority
+    # once; every round's messages flow down this DAG only
+    dv = verts.join(deg, "id", "left").select(
+        "id", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    oriented = (
+        sym.join(dv.select(F.col("id").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(dv.select(F.col("id").alias("dst"), F.col("deg").alias("dd")), "dst")
+        .where(
+            (F.col("ds") > F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") > F.col("dst")))
+        )
+        .select("src", "dst")
+        .repartition(P, "src")
+        .persist()
+    )
+    oriented.count()
+
+    # init: mex of the empty set — vertices with no higher-priority
+    # neighbor are already final at color 0
+    init = verts.select(
+        "id", F.lit(0).cast("long").alias("color"), F.lit(True).alias("_chg")
+    ).repartition(P, "id")
+
+    def step(state: DataFrame, round_: int):
+        frontier = state.where(F.col("_chg")).select(F.col("id").alias("src"))
+        affected = (
+            oriented.join(frontier, "src", "left_semi")
+            .select("dst")
+            .distinct()
+        )
+        used = (
+            oriented.join(affected.hint("SHUFFLE_HASH"), "dst", "left_semi")
+            .join(
+                state.select(F.col("id").alias("src"), "color").hint("SHUFFLE_HASH"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.collect_set("color").alias("used"))
+            # mex: the smallest value in 0..|used| not present — the
+            # pigeonhole bound keeps the candidate array tiny
+            .select(
+                "id",
+                F.array_min(
+                    F.filter(
+                        F.sequence(F.lit(0).cast("long"), F.size("used").cast("long")),
+                        lambda x: ~F.array_contains(F.col("used"), x),
+                    )
+                ).alias("cc"),
+            )
+        )
+        new_state = state_join(state, used).select(
+            "id",
+            F.coalesce("cc", "color").alias("color"),
+            (F.coalesce("cc", "color") != F.col("color")).alias("_chg"),
+        )
+
+        def finalize(df: DataFrame) -> dict:
+            c = df.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
+            return {"halt": c == 0, "changed": int(c), "edges_processed": n_edges}
+
+        return new_state, finalize
+
+    res = eng.run(init, step, max_rounds=max_iter)
+    res.state = res.state.select("id", "color")
+    sym.unpersist()
+    oriented.unpersist()
+    return res
+
+
+def fluid_community(
+    graph: Graph,
+    n_communities: int = 8,
+    max_round: int = 6,
+    eps: float = 1e-10,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Returns state (id: long, lab: long) — lab is the seed vertex id
+    of the adopted community, or -1 if never reached.  Fixed
+    ``max_round`` synchronous rounds (fluid-community.h iter_max
+    analogue); deterministic seeds = the n_communities smallest ids."""
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = _sym_simple(graph, P).persist()
+    n_edges = sym.count()
+    verts = graph.deduced_vertices()
+
+    seeds = verts.orderBy("id").limit(n_communities).select(
+        "id", F.col("id").alias("lab")
+    )
+    init = (
+        verts.join(seeds.withColumnRenamed("lab", "_s"), "id", "left")
+        .select("id", F.coalesce("_s", F.lit(-1)).cast("long").alias("lab"))
+        .repartition(P, "id")
+    )
+
+    def step(state: DataFrame, round_: int):
+        labeled = state.where(F.col("lab") >= 0)
+        # community sizes: ≤ n_communities rows — always broadcastable
+        cnt = F.broadcast(labeled.groupBy("lab").agg(F.count("*").alias("n")))
+        # density d[v][i] = |{u ∈ N(v) ∪ {v} : lab(u) = i}| / cnt[i] —
+        # counted then divided ONCE, so the value is bit-identical
+        # regardless of aggregation order (a float Σ(1/cnt) would not
+        # be, and the argmax below compares raw doubles)
+        nbr = (
+            sym.join(
+                labeled.select(F.col("id").alias("src"), "lab").hint("SHUFFLE_HASH"),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), "lab")
+        )
+        contrib = nbr.unionByName(labeled.select("id", "lab"))
+        d = (
+            contrib.groupBy("id", "lab")
+            .agg(F.count("*").alias("c"))
+            .join(cnt, "lab")
+            .select("id", "lab", (F.col("c") / F.col("n")).alias("d"))
+        )
+        # argmax with smallest-lab tie-break, plus the vertex's own
+        # current density for the strict-improvement test
+        best = d.groupBy("id").agg(
+            F.max(F.struct(F.col("d"), (-F.col("lab")).alias("neg"))).alias("b")
+        ).select("id", F.col("b.d").alias("bd"), (-F.col("b.neg")).alias("blab"))
+        curd = (
+            d.join(state.select("id", "lab"), ["id", "lab"])
+            .select("id", F.col("d").alias("cd"))
+        )
+        new_state = (
+            state.join(best, "id", "left")
+            .join(curd, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("lab") == -1,
+                    F.when(F.col("bd") > eps, F.col("blab")).otherwise(F.lit(-1)),
+                )
+                .otherwise(
+                    F.when(
+                        F.col("bd") > F.coalesce(F.col("cd"), F.lit(0.0)) + eps,
+                        F.col("blab"),
+                    ).otherwise(F.col("lab"))
+                )
+                .cast("long")
+                .alias("lab"),
+            )
+        )
+        return new_state, {"halt": False, "edges_processed": n_edges}
+
+    res = eng.run(init, step, max_rounds=max_round)
+    sym.unpersist()
+    return res

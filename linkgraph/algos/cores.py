@@ -158,3 +158,78 @@ def kshell(
     result.state = result.state.select("id", F.col("h").alias("shell"))
     edges.unpersist()
     return result
+
+
+def k_core_search(
+    graph: Graph,
+    k: int,
+    engine: SuperstepEngine | None = None,
+    max_iter: int = 10_000,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """k-core membership via the reference's PUSH-DECREMENT wave
+    (flash/core/k-core-search.h:48-64): instead of recounting induced
+    degrees (kcore() above, kcore.h semantics), each newly-removed
+    vertex scatters a -1 to every still-alive neighbor exactly once,
+    and only receivers that drop below k join the next removal wave.
+    Same fixpoint as kcore(), different engine path: the per-round
+    scatter touches only the frontier's incident edges, so late waves
+    cost O(frontier edges), not O(remaining edges).
+
+    Returns state (id: long, in_kcore: boolean); the final metrics row
+    carries kcore_size (k-core-search.h's GlobalRes)."""
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = _und_edges(graph, P).persist()
+    n_edges = edges.count()
+    verts = graph.deduced_vertices()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+
+    init = (
+        verts.join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+            F.lit(True).alias("alive"),
+        )
+        .repartition(P, "id")
+    )
+
+    def step(state: DataFrame, round_: int):
+        removed = state.where(F.col("alive") & (F.col("d") < k)).select(
+            F.col("id").alias("src")
+        )
+        dec = (
+            edges.join(removed.hint("SHUFFLE_HASH"), "src", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count("*").alias("dec"))
+        )
+        new_state = (
+            state.join(dec.hint("SHUFFLE_HASH"), "id", "left")
+            .select(
+                "id",
+                (F.col("d") - F.coalesce("dec", F.lit(0))).alias("d"),
+                (F.col("alive") & (F.col("d") >= k)).alias("alive"),
+            )
+        )
+
+        def finalize(df: DataFrame) -> dict:
+            row = df.agg(
+                F.sum((F.col("alive") & (F.col("d") < k)).cast("long")).alias("nxt"),
+                F.sum(F.col("alive").cast("long")).alias("alive_n"),
+            ).collect()[0]
+            return {
+                "halt": (row["nxt"] or 0) == 0,
+                "next_wave": int(row["nxt"] or 0),
+                "kcore_size": int(row["alive_n"] or 0),
+                "edges_processed": n_edges,
+            }
+
+        return new_state, finalize
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("id", F.col("alive").alias("in_kcore"))
+    edges.unpersist()
+    return result

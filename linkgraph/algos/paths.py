@@ -628,3 +628,76 @@ def betweenness_centrality(
     edges.unpersist()
     return SuperstepResult(state=state, rounds=rounds, converged=True,
                            metrics=fwd.metrics)
+
+
+def k_center(
+    graph: Graph,
+    k: int = 4,
+    directed: bool | None = None,
+    engine: SuperstepEngine | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Greedy k-center / Gonzalez farthest-point selection
+    (flash/measurement/k-center.h:42-75): the first center is the
+    max-degree vertex; each subsequent BFS folds dis(v) = min(dis,
+    dist(center, v)) and the next center is the vertex maximizing dis
+    — unreachable (dis = ∞) vertices win first, exactly like the
+    reference's INT_MAX init. The reference's ties (its VertexMapSeq
+    / TraverseLocal scans keep the first strict max in partition
+    order) are made deterministic here: min id wins every tie.
+
+    Returns state (id: long, dis: long) — hops to the nearest of the
+    k centers, -1 if unreached; the chosen centers are recorded in
+    res.metrics[-1]["centers"]. res.rounds = total BFS rounds.
+    """
+    spark = graph.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = _prep_edges(graph, P, directed, False).persist()
+    verts = graph.deduced_vertices().persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    first = (
+        verts.join(deg, "id", "left")
+        .select("id", F.coalesce("d", F.lit(0)).alias("d"))
+        .orderBy(F.col("d").desc(), F.col("id").asc())
+        .limit(1)
+        .collect()[0]["id"]
+    )
+
+    centers = [int(first)]
+    dis = None  # (id, dis) — NULL means not yet reached by any center
+    total_rounds, all_metrics = 0, []
+    for i in range(k):
+        res = multi_source_bfs(
+            graph, sources=[centers[-1]], directed=directed,
+            engine=engine, num_partitions=num_partitions,
+        )
+        total_rounds += res.rounds
+        all_metrics.extend(res.metrics)
+        d_i = res.state.select("id", F.col("dist").alias("nd"))
+        if dis is None:
+            dis = verts.select("id").join(d_i, "id", "left") \
+                       .select("id", F.col("nd").alias("dis"))
+        else:
+            dis = (
+                dis.join(d_i, "id", "left")
+                .select("id", F.least(
+                    F.coalesce("dis", F.col("nd")),
+                    F.coalesce("nd", F.col("dis"))).alias("dis"))
+            )
+        dis = dis.localCheckpoint(eager=True)
+        if i < k - 1:
+            nxt = (
+                dis.orderBy(F.col("dis").isNull().desc(),
+                            F.col("dis").desc(), F.col("id").asc())
+                .limit(1).collect()[0]["id"]
+            )
+            centers.append(int(nxt))
+
+    all_metrics.append({"centers": centers})
+    sym.unpersist()
+    verts.unpersist()
+    return SuperstepResult(
+        state=dis.select("id", F.coalesce("dis", F.lit(-1)).cast("long").alias("dis")),
+        rounds=total_rounds, converged=True, metrics=all_metrics,
+    )
