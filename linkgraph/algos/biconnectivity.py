@@ -63,7 +63,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import SuperstepEngine, SuperstepResult, observed_count
 from linkgraph.graph import Graph
 from linkgraph.joins import state_join
 
@@ -131,11 +131,7 @@ def _bfs_forest(
             (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
         )
 
-        def finalize(df: DataFrame) -> dict:
-            c = df.agg(F.sum(F.col("changed").cast("long")).alias("c")).collect()[0]["c"] or 0
-            return {"halt": c == 0, "frontier": int(c), "edges_processed": n_edges}
-
-        return new_state, finalize
+        return new_state, observed_count("changed", n_edges)
 
     res = eng.run(init, step, max_rounds=10_000)
     levels = res.state.where(F.col("dist") < INF).select(

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
 from linkgraph.joins import scatter_join, state_join
 
@@ -72,15 +72,19 @@ def cdlp(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            changed = df.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
+        def to_metrics(agg: dict) -> dict:
+            changed = int(agg["c"] or 0)
             return {
                 "halt": changed == 0,
-                "changed": int(changed),
+                "changed": changed,
                 "edges_processed": n_edges,
             }
 
-        return new_state, finalize
+        # changed-count rides the truncation action (engine.Observed)
+        return new_state, Observed(
+            exprs=[F.sum(F.col("_chg").cast("long")).alias("c")],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_round)
     result.state = result.state.select("id", "label")

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
 from linkgraph.joins import scatter_join, state_join
 
@@ -73,22 +73,25 @@ def eigenvector_centrality(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            # single combined aggregate: norm + inner product against
-            # the previous (already unit) vector → exactly-one-pass L2
-            # delta ‖x̂−x̂_prev‖₂ = √(2−2·⟨x,x̂_prev⟩/‖x‖); the numpy
-            # oracle applies the identical rule (see hits.py docstring)
-            g1 = df.agg(
-                F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("s"),
-                F.sum(F.col("x") * F.col("prev")).alias("ip"),
-            ).collect()[0]
+        def to_metrics(g1: dict) -> dict:
+            # norm + inner product against the previous (already unit)
+            # vector → exactly-one-pass L2 delta
+            # ‖x̂−x̂_prev‖₂ = √(2−2·⟨x,x̂_prev⟩/‖x‖), observed during the
+            # truncation action; the numpy oracle applies the identical
+            # rule (see hits.py docstring)
             s_new = g1["s"] or 1.0
             s_new = s_new if s_new > 0 else 1.0
             norm["v"] = s_new
             eps = max(0.0, 2.0 - 2.0 * (g1["ip"] or 0.0) / s_new) ** 0.5
             return {"halt": eps < n * tol, "l2_delta": eps, "edges_processed": n_edges}
 
-        return new_state, finalize
+        return new_state, Observed(
+            exprs=[
+                F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("s"),
+                F.sum(F.col("x") * F.col("prev")).alias("ip"),
+            ],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_iter)
     s = norm["v"] if norm["v"] else 1.0
@@ -141,13 +144,14 @@ def katz_centrality(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            eps = df.agg(
-                F.sum(F.abs(F.col("x") - F.col("prev"))).alias("e")
-            ).collect()[0]["e"] or 0.0
+        def to_metrics(g1: dict) -> dict:
+            eps = g1["e"] or 0.0
             return {"halt": eps < n * tol, "l1_delta": eps, "edges_processed": n_edges}
 
-        return new_state, finalize
+        return new_state, Observed(
+            exprs=[F.sum(F.abs(F.col("x") - F.col("prev"))).alias("e")],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_iter)
     raw = result.state.select("id", "x").persist()

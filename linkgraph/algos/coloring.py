@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import SuperstepEngine, SuperstepResult, observed_count
 from linkgraph.graph import Graph
 from linkgraph.joins import state_join
 
@@ -126,11 +126,7 @@ def greedy_color(
             (F.coalesce("cc", "color") != F.col("color")).alias("_chg"),
         )
 
-        def finalize(df: DataFrame) -> dict:
-            c = df.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
-            return {"halt": c == 0, "changed": int(c), "edges_processed": n_edges}
-
-        return new_state, finalize
+        return new_state, observed_count("_chg", n_edges, key="changed")
 
     res = eng.run(init, step, max_rounds=max_iter)
     res.state = res.state.select("id", "color")

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult, observed_count
 from linkgraph.graph import Graph
 
 
@@ -148,11 +148,7 @@ def kshell(
             )
         )
 
-        def finalize(df):
-            chg = df.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
-            return {"halt": chg == 0, "changed": int(chg), "edges_processed": n_edges}
-
-        return new_state, finalize
+        return new_state, observed_count("_chg", n_edges, key="changed")
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("id", F.col("h").alias("shell"))
@@ -215,11 +211,7 @@ def k_core_search(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            row = df.agg(
-                F.sum((F.col("alive") & (F.col("d") < k)).cast("long")).alias("nxt"),
-                F.sum(F.col("alive").cast("long")).alias("alive_n"),
-            ).collect()[0]
+        def to_metrics(row: dict) -> dict:
             return {
                 "halt": (row["nxt"] or 0) == 0,
                 "next_wave": int(row["nxt"] or 0),
@@ -227,7 +219,13 @@ def k_core_search(
                 "edges_processed": n_edges,
             }
 
-        return new_state, finalize
+        return new_state, Observed(
+            exprs=[
+                F.sum((F.col("alive") & (F.col("d") < k)).cast("long")).alias("nxt"),
+                F.sum(F.col("alive").cast("long")).alias("alive_n"),
+            ],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("id", F.col("alive").alias("in_kcore"))

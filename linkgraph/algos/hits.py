@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
 from linkgraph.joins import scatter_join, state_join
 
@@ -107,16 +107,10 @@ def hits(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            # ONE combined aggregate pass: both L2 norms + both inner
-            # products against the previous normalized vectors — the
-            # Sum collectives of hits.h:163-178 in a single collect
-            g1 = df.agg(
-                F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("na"),
-                F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("nh"),
-                F.sum(F.col("ra") * F.col("prev_auth")).alias("ipa"),
-                F.sum(F.col("rh") * F.col("prev_hub")).alias("iph"),
-            ).collect()[0]
+        def to_metrics(g1: dict) -> dict:
+            # both L2 norms + both inner products against the previous
+            # normalized vectors — the Sum collectives of
+            # hits.h:163-178 — observed during the truncation action
             na = g1["na"] or 1.0
             nh = g1["nh"] or 1.0
             na = na if na > 0 else 1.0
@@ -131,7 +125,15 @@ def hits(
                 "edges_processed": n_edges,
             }
 
-        return new_state, finalize
+        return new_state, Observed(
+            exprs=[
+                F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("na"),
+                F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("nh"),
+                F.sum(F.col("ra") * F.col("prev_auth")).alias("ipa"),
+                F.sum(F.col("rh") * F.col("prev_hub")).alias("iph"),
+            ],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_iter)
     na = norms["na"] if norms["na"] else 1.0

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
 from linkgraph.joins import state_join
 
@@ -157,13 +157,16 @@ def louvain_local_move(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            chg = df.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[0]["c"] or 0
+        def to_metrics(agg: dict) -> dict:
+            chg = int(agg["c"] or 0)
             halt = chg == 0 and prev_moved["n"] == 0
-            prev_moved["n"] = int(chg)
-            return {"halt": halt, "moved": int(chg)}
+            prev_moved["n"] = chg
+            return {"halt": halt, "moved": chg}
 
-        return new_state, finalize
+        return new_state, Observed(
+            exprs=[F.sum(F.col("_chg").cast("long")).alias("c")],
+            to_metrics=to_metrics,
+        )
 
     res = eng.run(init, step, max_rounds=max_round)
     res.state = res.state.select("id", "c", "k", "internal")

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
 from linkgraph.joins import scatter_join, state_join
 
@@ -133,13 +133,7 @@ def pagerank(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            # convergence L1 + NEXT round's dangling mass in one pass
-            # over the already-materialized state (the Sum collective)
-            agg = df.agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
-                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("dangling"),
-            ).collect()[0]
+        def to_metrics(agg: dict) -> dict:
             eps = agg["eps"] or 0.0
             dangling_cell["mass"] = agg["dangling"] or 0.0
             return {
@@ -149,7 +143,18 @@ def pagerank(
                 "edges_processed": n_edges,
             }
 
-        return new_state, finalize
+        # convergence L1 + NEXT round's dangling mass ride the
+        # truncation action itself (engine.Observed): zero extra jobs,
+        # zero extra passes over the state
+        return new_state, Observed(
+            exprs=[
+                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
+                    "dangling"
+                ),
+            ],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_iter, resume=resume)
     result.state = result.state.select("id", "rank")

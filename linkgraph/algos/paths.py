@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import SuperstepEngine, SuperstepResult, observed_count
 from linkgraph.graph import Graph
 from linkgraph.joins import state_join
 
@@ -120,11 +120,7 @@ def multi_source_bfs(
         )
         new_state = state.select("s", "id", "dist", F.lit(False).alias("fr")).unionByName(new)
 
-        def finalize(df: DataFrame) -> dict:
-            fr = df.agg(F.sum(F.col("fr").cast("long")).alias("c")).collect()[0]["c"] or 0
-            return {"halt": fr == 0, "frontier": int(fr), "edges_processed": n_edges}
-
-        return new_state, finalize
+        return new_state, observed_count("fr", n_edges)
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("s", "id", "dist")
@@ -203,11 +199,7 @@ def multi_source_sssp(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            fr = df.agg(F.sum(F.col("fr").cast("long")).alias("c")).collect()[0]["c"] or 0
-            return {"halt": fr == 0, "frontier": int(fr), "edges_processed": n_edges}
-
-        return new_state, finalize
+        return new_state, observed_count("fr", n_edges)
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("s", "id", "dist")
@@ -407,11 +399,7 @@ def sssp_path(
             (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
         )
 
-        def finalize(df: DataFrame) -> dict:
-            c = df.agg(F.sum(F.col("changed").cast("long")).alias("c")).collect()[0]["c"] or 0
-            return {"halt": c == 0, "frontier": int(c), "edges_processed": n_edges}
-
-        return new_state, finalize
+        return new_state, observed_count("changed", n_edges)
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.where(F.col("dist") != INF).select("id", "pred", "dist")
@@ -514,11 +502,7 @@ def betweenness_centrality(
         new_state = state.select("s", "id", "depth", "sigma",
                                  F.lit(False).alias("fr")).unionByName(new)
 
-        def finalize(df: DataFrame) -> dict:
-            fr = df.agg(F.sum(F.col("fr").cast("long")).alias("c")).collect()[0]["c"] or 0
-            return {"halt": fr == 0, "frontier": int(fr), "edges_processed": n_edges}
-
-        return new_state, finalize
+        return new_state, observed_count("fr", n_edges)
 
     fwd = eng.run(init, fwd_step, max_rounds=10_000)
     depth_sigma = fwd.state.select("s", "id", "depth", "sigma").persist()

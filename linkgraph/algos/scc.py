@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import SuperstepEngine, SuperstepResult, observed_count
 from linkgraph.graph import Graph
 from linkgraph.joins import state_join
 
@@ -110,13 +110,7 @@ def scc(
                 (F.coalesce("cand", F.col("fid")) < F.col("fid")).alias("changed"),
             )
 
-            def finalize(df: DataFrame) -> dict:
-                c = df.agg(F.sum(F.col("changed").cast("long")).alias("c")) \
-                      .collect()[0]["c"] or 0
-                return {"halt": c == 0, "frontier": int(c),
-                        "edges_processed": n_edges}
-
-            return new_state, finalize
+            return new_state, observed_count("changed", n_edges)
 
         fres = eng.run(finit, fwd_step, max_rounds=10_000)
         total_rounds += fres.rounds
@@ -171,13 +165,7 @@ def scc(
                 .alias("changed"),
             )
 
-            def finalize(df: DataFrame) -> dict:
-                c = df.agg(F.sum(F.col("changed").cast("long")).alias("c")) \
-                      .collect()[0]["c"] or 0
-                return {"halt": c == 0, "frontier": int(c),
-                        "edges_processed": n_edges}
-
-            return new_state, finalize
+            return new_state, observed_count("changed", n_edges)
 
         bres = eng.run(binit, bwd_step, max_rounds=10_000)
         total_rounds += bres.rounds

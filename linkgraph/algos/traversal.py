@@ -20,7 +20,7 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import SuperstepEngine, SuperstepResult, observed_count
 from linkgraph.graph import Graph
 from linkgraph.joins import scatter_join, state_join
 
@@ -86,18 +86,7 @@ def sssp(
                 (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
             )
         )
-        def finalize(df: DataFrame) -> dict:
-            changed = (
-                df.agg(F.sum(F.col("changed").cast("long")).alias("c")).collect()[0]["c"]
-                or 0
-            )
-            return {
-                "halt": changed == 0,
-                "frontier": int(changed),
-                "edges_processed": n_edges,
-            }
-
-        return new_state, finalize
+        return new_state, observed_count("changed", n_edges)
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select(

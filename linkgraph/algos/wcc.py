@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
 from linkgraph.joins import scatter_join, state_join
 
@@ -86,19 +86,21 @@ def wcc(
             )
         )
 
-        def finalize(df: DataFrame) -> dict:
-            changed = df.agg(
-                F.sum(F.col("changed").cast("long")).alias("c")
-            ).collect()[0]["c"] or 0
-            frontier_size["n"] = int(changed)
+        def to_metrics(agg: dict) -> dict:
+            changed = int(agg["c"] or 0)
+            frontier_size["n"] = changed
             return {
                 "halt": changed == 0,
-                "frontier": int(changed),
+                "frontier": changed,
                 "mode": "dense" if dense else "sparse",
                 "edges_processed": n_edges,
             }
 
-        return new_state, finalize
+        # frontier count rides the truncation action (engine.Observed)
+        return new_state, Observed(
+            exprs=[F.sum(F.col("changed").cast("long")).alias("c")],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_iter, resume=resume)
     result.state = result.state.select("id", "comp")

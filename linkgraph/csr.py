@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.engine import SuperstepEngine, SuperstepResult
+from linkgraph.engine import Observed, SuperstepEngine, SuperstepResult
 from linkgraph.graph import Graph
 from linkgraph.joins import state_join
 
@@ -192,11 +192,7 @@ def pagerank_csr(
                 "prev_rank",
             )
         )
-        def finalize(df: DataFrame) -> dict:
-            agg = df.agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
-                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("dangling"),
-            ).collect()[0]
+        def to_metrics(agg: dict) -> dict:
             eps = agg["eps"] or 0.0
             dangling_cell["mass"] = agg["dangling"] or 0.0
             return {
@@ -206,7 +202,16 @@ def pagerank_csr(
                 "mode": "csr",
             }
 
-        return new_state, finalize
+        # L1 + next-round dangling mass ride the truncation action
+        return new_state, Observed(
+            exprs=[
+                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("eps"),
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
+                    "dangling"
+                ),
+            ],
+            to_metrics=to_metrics,
+        )
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("id", "rank")

@@ -30,8 +30,50 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class Observed:
+    """Declarative finalize: the convergence aggregates (the Sum
+    collectives) are attached to the superstep plan with
+    ``DataFrame.observe`` and computed AS A SIDE EFFECT of the
+    truncation action — no second scan of the materialized state, one
+    driver job per superstep instead of two. ``CollectMetrics`` merges
+    per-partition partials on the driver like an accumulator: no extra
+    shuffle, no extra pass (verified to fire on both
+    localCheckpoint(eager=True) and the durable parquet write).
+
+    exprs       aggregate Columns (each must carry an .alias)
+    to_metrics  maps the observed {alias: scalar} dict to the usual
+                metrics dict ('halt': bool + any jsonable scalars)
+    """
+
+    exprs: list
+    to_metrics: Callable[[dict[str, Any]], dict[str, Any]]
+
+
+def observed_count(
+    col: str,
+    n_edges: int,
+    key: str = "frontier",
+    extra: dict[str, Any] | None = None,
+) -> Observed:
+    """The common vote-to-halt finalize — count a boolean state column
+    (frontier/changed), halt when zero — as an :class:`Observed`, so
+    the count rides the truncation action instead of a second scan."""
+
+    def to_metrics(agg: dict[str, Any]) -> dict[str, Any]:
+        c = int(agg["c"] or 0)
+        m = {"halt": c == 0, key: c, "edges_processed": n_edges}
+        if extra:
+            m.update(extra)
+        return m
+
+    return Observed(
+        exprs=[F.sum(F.col(col).cast("long")).alias("c")], to_metrics=to_metrics
+    )
 
 
 @dataclass
@@ -179,6 +221,10 @@ class SuperstepEngine:
         while round_ < max_rounds:
             t0 = time.time()
             new_state, finalize = step_fn(state, round_)
+            obs: Observation | None = None
+            if isinstance(finalize, Observed):
+                obs = Observation(f"superstep-{round_}")
+                new_state = new_state.observe(obs, *finalize.exprs)
             on_cadence = self.checkpoint_dir and (round_ + 1) % self.checkpoint_every == 0
             if on_cadence:
                 # durable truncation: the parquet write executes the
@@ -194,7 +240,12 @@ class SuperstepEngine:
                 new_state = new_state.localCheckpoint(
                     eager=True, storageLevel=self.truncate_level)
 
-            metrics = dict(finalize(new_state)) if callable(finalize) else dict(finalize)
+            if obs is not None:
+                metrics = dict(finalize.to_metrics(obs.get))
+            elif callable(finalize):
+                metrics = dict(finalize(new_state))
+            else:
+                metrics = dict(finalize)
             metrics["superstep_sec"] = time.time() - t0
             metrics["round"] = round_
 
