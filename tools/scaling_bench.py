@@ -97,12 +97,21 @@ spark.stop()
 def run_level(repo: str, cpus: int, nv: int, deg: int, rounds: int,
               mode: str = "join") -> dict:
     code = WORKER.format(repo=repo)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(nv), str(deg), str(rounds), mode],
-        capture_output=True, text=True, check=True,
-    )
+    cmd = [sys.executable, "-c", code,
+           str(cpus), str(nv), str(deg), str(rounds), mode]
+    pinned = os.environ.get("SPARK_GRAFT_PIN_CPUS") == "1"
+    if pinned:
+        # Faithful N-core-executor emulation: without pinning, a
+        # local[8] JVM on a 32-core box still uses all 32 physical
+        # cores for GC, shuffle, netty and codegen threads, inflating
+        # the low-parallelism leg and understating N->4N efficiency.
+        # taskset confines the whole JVM to exactly N hardware cores.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    res["cpu_pinned"] = pinned
+    return res
 
 
 def main() -> None:
