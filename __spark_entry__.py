@@ -811,6 +811,36 @@ def _q_covers(spark, sf_dir):
     return r.state.select("id", "in_cover")
 
 
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + SimHash document fingerprints consolidated into one
+    gate (registry stays ≤50): one row per (doc_id, seed) carrying the
+    seed's minhash and the doc's 32-bit simhash alongside."""
+    mh = pl.minhash_signatures(spark, sf_dir)
+    sh = pl.simhash(spark, sf_dir)
+    return mh.join(sh, "doc_id").select("doc_id", "seed", "minhash", "simhash")
+
+
+# pinned IVF gate geometry (the DuckDB twin embeds the centroid
+# literals in a static SQL string; the library default is data-sized
+# pl.ivf_auto_params)
+IVF_GATE_C, IVF_GATE_P = 16, 4
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search gate: exact brute-force top-10 UNION the IVF
+    (inverted-file) approximate top-10, tagged by a method column —
+    both paths hash-verified against the same static SQL twin."""
+    exact = pl.embedding_topk(spark, sf_dir)
+    ivf = pl.embedding_ivf_topk(
+        spark, sf_dir, n_centroids=IVF_GATE_C, n_probe=IVF_GATE_P
+    )
+    return exact.select(
+        F.lit("exact").alias("method"), "q", "vec_id", "rank", "sim"
+    ).unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "q", "vec_id", "rank", "sim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """≤50 entries by design: the round-3 driver capped its oracle run
     at the first 50 registry keys, so sibling operators that share a
@@ -826,9 +856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assortativity, node/edge boundary → boundary, is_simple_path/
     all_simple_paths → simple_paths, doc_sha ⊂ blob_stats,
     token_count/quality_score/lang_id → doc_features, lsh_candidates
-    ⊂ minhash_signatures + dedup_clusters, eigenvector/katz →
-    eig_katz, ppr/articlerank → rank_family, k_core_search → ordering
-    (in_kcore column), k_center → diameter_approx (dis column)."""
+    ⊂ fingerprints + dedup_clusters, minhash_signatures/simhash →
+    fingerprints, embedding_ivf_topk → embedding_topk (method column),
+    eigenvector/katz → eig_katz, ppr/articlerank → rank_family,
+    k_core_search → ordering (in_kcore column), k_center →
+    diameter_approx (dis column)."""
     return {
         # graph ETL + flagship algorithms (SURVEY.md §2.2)
         "part_edges": _q_part_edges,
@@ -877,14 +909,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": pl.dedup_exact,
         "doc_features": _q_doc_features,
         "ngram_jaccard": pl.ngram_jaccard_pairs,
-        "minhash_signatures": pl.minhash_signatures,
-        "simhash": pl.simhash,
-        "embedding_topk": pl.embedding_topk,
+        "fingerprints": _q_fingerprints,
+        "embedding_topk": _q_embedding_topk,
         # pinned 8x4 LSH geometry: the DuckDB twin is a static SQL
         # string, so the gate cannot follow the library's data-sized
         # auto-params (pl.ann_auto_params — measured in BASELINE.md)
         "embedding_ann": lambda spark, sf_dir: pl.embedding_ann(
             spark, sf_dir, bits=pl.ANN_BITS, tables=pl.ANN_TABLES),
+        # embedding-cosine near-dup pairs: threshold 0.3 because the
+        # synthetic embeddings are i.i.d. random (max pairwise cosine
+        # ~0.5 at sf0.01) — a production 0.9 would gate an empty frame;
+        # pytest plants real duplicates and checks recall at 0.9
+        "embedding_near_dup": lambda spark, sf_dir: pl.embedding_near_dup(
+            spark, sf_dir, threshold=0.3, bits=pl.ANN_BITS, tables=pl.ANN_TABLES),
         "dedup_clusters": pl.dedup_clusters,
     }
 
@@ -2607,7 +2644,25 @@ jac AS (
     JOIN sizes s2 ON s2.doc_id = i.b)
 SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.05"""
     )
-    sql["minhash_signatures"] = _MINHASH_SQL + " SELECT doc_id, seed, minhash FROM sig"
+    sql["fingerprints"] = (
+        _MINHASH_SQL
+        + ","
+        + _TOKS_SQL
+        + """,
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+perbit AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM h CROSS JOIN bits GROUP BY doc_id, b),
+sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+    FROM perbit GROUP BY doc_id)
+SELECT sig.doc_id, sig.seed, sig.minhash, sh.simhash
+FROM sig JOIN sh ON sh.doc_id = sig.doc_id"""
+    )
     sql["dedup_clusters"] = (
         "WITH RECURSIVE "
         + _GRAMS_SQL
@@ -2672,24 +2727,17 @@ ranked AS (
     FROM scored)
 SELECT q, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= {kk}"""
-    sql["simhash"] = (
-        "WITH "
-        + _TOKS_SQL
-        + """,
-h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
-bits AS (SELECT unnest(generate_series(0, 31)) AS b),
-perbit AS (
-    SELECT doc_id, b,
-           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-    FROM h CROSS JOIN bits GROUP BY doc_id, b)
-SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
-       AS simhash
-FROM perbit GROUP BY doc_id"""
+    cent_rows = ", ".join(
+        f"({ci}, [{', '.join(str(float(x)) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(pl.ivf_centroids(dim, IVF_GATE_C))
     )
-    sql["embedding_topk"] = """
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS q, v AS qv FROM emb WHERE vec_id < 10),
+    sql["embedding_topk"] = f"""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * {pl.ANN_QUANT} + 0.5)) AS vq
+    FROM embeddings),
+q AS (SELECT vec_id AS q, v AS qv FROM emb WHERE vec_id < {nq}),
 scored AS (
     SELECT q.q, e.vec_id,
            list_dot_product(q.qv, e.v)
@@ -2699,7 +2747,59 @@ ranked AS (
     SELECT q, vec_id,
            row_number() OVER (PARTITION BY q ORDER BY sim DESC, vec_id ASC) AS rank,
            sim
-    FROM scored)
-SELECT q, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
-FROM ranked WHERE rank <= 10"""
+    FROM scored),
+cents(cid, c) AS (VALUES {cent_rows}),
+-- MIPS assignment: argmax integer dot, ties to the smallest cid
+ds AS MATERIALIZED (
+    SELECT e.vec_id, c.cid, list_dot_product(e.vq, c.c) AS dot
+    FROM emb e CROSS JOIN cents c),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+        FROM ds) WHERE rn = 1),
+probe AS (
+    SELECT vec_id AS q, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+        FROM ds WHERE vec_id < {nq}) WHERE rn <= {IVF_GATE_P}),
+icand AS (
+    SELECT p.q, a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+    WHERE a.vec_id <> p.q),
+iscored AS (
+    SELECT c.q, c.vec_id,
+           list_dot_product(qe.v, e.v)
+           / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+    FROM icand c JOIN emb e ON e.vec_id = c.vec_id JOIN emb qe ON qe.vec_id = c.q),
+iranked AS (
+    SELECT q, vec_id,
+           row_number() OVER (PARTITION BY q ORDER BY sim DESC, vec_id ASC) AS rank,
+           sim
+    FROM iscored)
+SELECT 'exact' AS method, q, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {kk}
+UNION ALL
+SELECT 'ivf' AS method, q, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM iranked WHERE rank <= {kk}"""
+    sql["embedding_near_dup"] = f"""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * {pl.ANN_QUANT} + 0.5)) AS vq
+    FROM embeddings),
+planes(t, j, h) AS (VALUES {plane_rows}),
+sig AS MATERIALIZED (
+    SELECT e.vec_id, p.t,
+           sum(CASE WHEN list_dot_product(e.vq, p.h) >= 0
+               THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS bucket
+    FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+prs AS MATERIALIZED (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM sig x JOIN sig y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+nsc AS (
+    SELECT p.a, p.b,
+           list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+    FROM prs p JOIN emb ea ON ea.vec_id = p.a JOIN emb eb ON eb.vec_id = p.b)
+SELECT a, b, round(sim, 6) AS sim FROM nsc WHERE sim >= 0.3"""
     return sql

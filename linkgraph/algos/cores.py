@@ -122,11 +122,32 @@ def kshell(
         .select("id", F.coalesce("d", F.lit(0)).cast("long").alias("h"))
         .repartition(P, "id")
     )
+    n_verts = verts.count()
+
+    # H-index values are monotone non-increasing and h(v) can only move
+    # when some neighbor's h moved, so late rounds (the long tail of the
+    # 30-40 round fixpoint) need to recompute only vertices with a
+    # changed neighbor. Dense/sparse switch mirrors wcc's V/50 rule; the
+    # previous round's changed count reaches the step via the Observed
+    # finalize closure (driver-side, no extra job).
+    box: dict = {"changed": None}
 
     def step(state, round_):
-        state = state.drop("_chg")
-        nbrh = edges.join(
-            state.select(F.col("id").alias("dst"), "h").hint("SHUFFLE_HASH"), "dst"
+        chg = box["changed"]
+        sparse = chg is not None and chg < max(1, n_verts // 50)
+        prev = state.drop("_chg")
+        if sparse:
+            moved = state.where(F.col("_chg")).select(F.col("id").alias("dst"))
+            affected = (
+                edges.join(moved.hint("SHUFFLE_HASH"), "dst", "left_semi")
+                .select("src")
+                .distinct()
+            )
+            sub = edges.join(affected.hint("SHUFFLE_HASH"), "src", "left_semi")
+        else:
+            sub = edges
+        nbrh = sub.join(
+            prev.select(F.col("id").alias("dst"), "h").hint("SHUFFLE_HASH"), "dst"
         ).select(F.col("src").alias("id"), "h")
         hist = nbrh.groupBy("id", "h").agg(F.count("*").alias("c"))
         w = (
@@ -139,16 +160,27 @@ def kshell(
             .groupBy("id")
             .agg(F.max(F.least(F.col("h"), F.col("cum"))).alias("hn"))
         )
+        # missing hn = isolated (dense, h already 0) or unaffected
+        # (sparse) — keep the old value in both cases
         new_state = (
-            state.join(hn.hint("SHUFFLE_HASH"), "id", "left")
+            prev.join(hn.hint("SHUFFLE_HASH"), "id", "left")
             .select(
                 "id",
-                F.coalesce("hn", F.lit(0)).cast("long").alias("h"),
-                (F.coalesce("hn", F.lit(0)) != F.col("h")).alias("_chg"),
+                F.coalesce("hn", F.col("h")).cast("long").alias("h"),
+                (F.coalesce("hn", F.col("h")) != F.col("h")).alias("_chg"),
             )
         )
 
-        return new_state, observed_count("_chg", n_edges, key="changed")
+        base = observed_count(
+            "_chg", n_edges, key="changed", extra={"sparse": sparse}
+        )
+
+        def to_metrics(agg, _inner=base.to_metrics):
+            m = _inner(agg)
+            box["changed"] = m["changed"]
+            return m
+
+        return new_state, Observed(exprs=base.exprs, to_metrics=to_metrics)
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("id", F.col("h").alias("shell"))

@@ -526,3 +526,221 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("canonical_id"))
     )
+
+
+def _ann_sig_col(dim: int, bits: int, table: int) -> F.Column:
+    """Hyperplane-sign bucket id of the quantized vector column `vq`
+    for one LSH table — shared by embedding_ann and
+    embedding_near_dup (exact integer arithmetic, so the SQL oracle
+    reproduces the buckets bit-for-bit)."""
+    planes = ann_hyperplanes(dim, bits, table=table)
+    sig = F.lit(0).cast("long")
+    for j, h in enumerate(planes):
+        hcol = F.array(*[F.lit(x).cast("long") for x in h])
+        dot = F.aggregate(
+            F.zip_with("vq", hcol, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    bits: int | None = None,
+    tables: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b,
+    sim = exact cosine rounded to 6 decimals, over the LSH candidate
+    set — two vectors are candidates iff they share a hyperplane-sign
+    bucket in ANY of the OR-construction tables (the same deterministic
+    tables as embedding_ann, no query set: all-vs-all WITHIN buckets).
+
+    This is the embedding analog of the MinHash near-dup path
+    (lsh_candidate_pairs): the self-join is keyed by (table, bucket) —
+    never all-pairs — and `bits` auto-scales with log2(N)
+    (ann_auto_params) to hold expected bucket occupancy flat, so the
+    candidate-pair count stays ~linear in N at 10^9 vectors. Exact
+    cosine then keeps only pairs at/above `threshold`.
+    """
+    emb = _quantized_emb(spark, sf_dir)
+    dim = int(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    )
+    if bits is None or tables is None:
+        n_vec = emb.count()
+        auto_bits, auto_tables = ann_auto_params(n_vec)
+        bits = bits if bits is not None else auto_bits
+        tables = tables if tables is not None else auto_tables
+
+    emb = emb.withColumn(
+        "tb",
+        F.array(*[
+            F.struct(F.lit(t).alias("t"), _ann_sig_col(dim, bits, t).alias("bucket"))
+            for t in range(tables)
+        ]),
+    )
+    flat = emb.select("vec_id", "v", F.explode("tb").alias("x")).select(
+        "vec_id", "v", F.col("x.t").alias("t"), F.col("x.bucket").alias("bucket")
+    )
+    rhs = flat.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "t", "bucket"
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        flat.join(rhs, ["t", "bucket"])
+        .where(F.col("vec_id") < F.col("b_id"))
+        # a pair can collide in several tables — dedup before the
+        # per-pair cosine evaluation
+        .dropDuplicates(["vec_id", "b_id"])
+        .select(
+            F.col("vec_id").alias("a"),
+            F.col("b_id").alias("b"),
+            (
+                dot(F.col("v"), F.col("bv"))
+                / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("bv"), F.col("bv"))))
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return pairs.select("a", "b", F.round("sim", 6).alias("sim"))
+
+
+def ivf_centroids(dim: int, n_centroids: int) -> list[list[int]]:
+    """Deterministic pseudo-random integer centroids (md5-seeded,
+    values in [-1000, 1000]) shared verbatim by the Spark plan and the
+    SQL oracle — a data-independent coarse quantizer (random-center
+    IVF). Integer coordinates keep the assignment argmax exact across
+    engines (no float-ulp ties)."""
+    import hashlib as _hl
+
+    return [
+        [
+            int(_hl.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(dim)
+        ]
+        for c in range(n_centroids)
+    ]
+
+
+def ivf_auto_params(n: int) -> tuple[int, int]:
+    """IVF geometry from corpus size: n_centroids ~ sqrt(N) (the
+    classic IVF sizing — per-list length ~ sqrt(N)), n_probe ~
+    sqrt(n_centroids) lists probed per query. Probed fraction
+    ~ n_probe/n_centroids = N^(-1/4) → sublinear scan per query."""
+    import math
+
+    c = max(4, int(math.sqrt(max(n, 1))))
+    return c, max(1, int(math.sqrt(c)))
+
+
+def embedding_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path next to
+    the hyperplane-LSH one (embedding_ann): every vector is assigned
+    to its best coarse centroid by MAXIMUM INTEGER DOT PRODUCT over
+    the quantized vector (argmax_j <vq, c_j>, ties to the smallest
+    centroid id — exact integer arithmetic, so Spark and the SQL
+    oracle agree bit-for-bit); each query probes its `n_probe` best
+    centroid lists and exact-cosine re-ranks only those lists'
+    vectors. (q, vec_id, rank, sim with sim rounded to 6 decimals.)
+
+    Scale shape: the assignment argmax is a row-local fold over a
+    literal centroid array (no N×C row blowup; at C beyond ~10^3
+    swap the fold for an Arrow-batched matmul kernel — same
+    contract); the candidate join is keyed by centroid id; re-rank is
+    the same two-stage top-k as embedding_topk, touching ~n_probe·N/C
+    rows per query instead of N."""
+    from pyspark.sql.window import Window
+
+    emb = _quantized_emb(spark, sf_dir)
+    dim = int(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    )
+    if n_centroids is None or n_probe is None:
+        n_vec = emb.count()
+        auto_c, auto_p = ivf_auto_params(n_vec)
+        n_centroids = n_centroids if n_centroids is not None else auto_c
+        n_probe = n_probe if n_probe is not None else auto_p
+
+    cents = ivf_centroids(dim, n_centroids)
+
+    def dots_arr() -> F.Column:
+        # array<struct<dot: long, cid: int>> — one row-local fold per
+        # centroid, integer-exact
+        return F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with("vq", F.array(*[F.lit(x).cast("long") for x in c]),
+                               lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, c in enumerate(cents)
+        ])
+
+    # assignment: max struct(dot, -cid) == argmax dot with min-cid ties
+    scored = emb.withColumn(
+        "ds",
+        F.transform(
+            dots_arr(),
+            lambda s: F.struct(s["dot"].alias("dot"), (-s["cid"]).alias("ncid")),
+        ),
+    )
+    assigned = scored.select(
+        "vec_id", "v", (-F.array_max("ds")["ncid"]).cast("int").alias("cid")
+    )
+    # query probe lists: top-n_probe centroids by (dot desc, cid asc)
+    qprobe = (
+        scored.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q"),
+            F.col("v").alias("qv"),
+            F.slice(F.reverse(F.array_sort("ds")), 1, n_probe).alias("top"),
+        )
+        .select("q", "qv", F.explode("top").alias("p"))
+        .select("q", "qv", (-F.col("p.ncid")).cast("int").alias("cid"))
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cand = (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .where(F.col("vec_id") != F.col("q"))
+        .select(
+            "q",
+            "vec_id",
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
+            ).alias("sim"),
+        )
+    )
+    wl = Window.partitionBy("q", "_pid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    local = (
+        cand.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(wl))
+        .where(F.col("_lr") <= k)
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "vec_id", F.col("rank").cast("long").alias("rank"),
+                F.round("sim", 6).alias("sim"))
+    )
