@@ -99,3 +99,48 @@ def run_degree_snapshot(
     )
     q.awaitTermination()
     spark.table("deg_snapshot").write.mode("overwrite").parquet(out_path)
+
+
+def streaming_hub_alerts(edges: DataFrame, threshold: int = 1000) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState —
+    the arbitrary-state API a declarative groupBy-agg can't express):
+    maintains a running out-degree per vertex across micro-batches and
+    emits exactly ONE alert row (id, degree) in the micro-batch where
+    the vertex's cumulative degree first crosses ``threshold`` —
+    the streaming analog of the hub-split decision the batch CSR path
+    makes statically (linkgraph/csr.py hub sources).
+
+    State per key is (cnt: long, alerted: boolean); the emitted-once
+    bit survives restarts through the query checkpoint. Output mode is
+    append (each alert is final). Arrow-batched: the callable sees
+    pandas frames, never Python rows."""
+    import pandas as pd  # noqa: F401 (vectorized state kernel)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        cnt, alerted = state.get if state.exists else (0, False)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        fire = cnt >= threshold and not alerted
+        state.update((int(cnt), bool(alerted or fire)))
+        if fire:
+            yield pd.DataFrame({"id": [int(key[0])], "degree": [int(cnt)]})
+        else:
+            yield pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"),
+                 "degree": pd.Series([], dtype="int64")}
+            )
+
+    return (
+        edges.select(F.col("src").alias("id"))
+        .groupBy("id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="id long, degree long",
+            stateStructType="cnt long, alerted boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

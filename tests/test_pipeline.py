@@ -127,3 +127,96 @@ def test_embedding_ann_subset_of_bucketmates(spark):
     assert ann.where(F.col("rank") > 10).count() == 0
     hits = ann.join(exact, ["q", "vec_id"], "left_semi").count()
     assert hits > 0
+
+
+@pytest.fixture(scope="module")
+def dup_emb_dir(spark, tmp_path_factory):
+    """Embeddings with PLANTED near-duplicates: 40 seeded random base
+    vectors (dim 16); vec_ids 100..109 are base vectors 0..9 plus tiny
+    noise (cosine > 0.999). Random embeddings (the sf testdata) have
+    no pairs above ~0.5, so dup recall needs this fixture."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("dupemb")
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(40)]
+    rows += [
+        (100 + i, [float(x) for x in base[i] + 0.01 * rng.randn(16)], 0)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_near_dup_finds_planted_dups(spark, dup_emb_dir):
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in pl.embedding_near_dup(spark, dup_emb_dir, threshold=0.9).collect()
+    }
+    # every planted pair collides in some LSH table (cosine ~0.999 →
+    # per-bit agreement ~0.99) and survives the exact-cosine filter
+    for i in range(10):
+        assert (i, 100 + i) in got, f"planted dup ({i},{100+i}) missed"
+        assert got[(i, 100 + i)] > 0.99
+    # nothing else reaches 0.9 between independent gaussians
+    assert set(got) == {(i, 100 + i) for i in range(10)}
+
+
+def test_embedding_near_dup_threshold_monotone(spark, dup_emb_dir):
+    hi = {
+        (r["a"], r["b"])
+        for r in pl.embedding_near_dup(spark, dup_emb_dir, threshold=0.9).collect()
+    }
+    lo = {
+        (r["a"], r["b"])
+        for r in pl.embedding_near_dup(spark, dup_emb_dir, threshold=0.3).collect()
+    }
+    assert hi <= lo
+
+
+def test_embedding_ivf_full_probe_equals_exact(spark, dup_emb_dir):
+    """n_probe = n_centroids degenerates IVF to brute force — the
+    result must equal embedding_topk row for row."""
+    ivf = sorted(
+        pl.embedding_ivf_topk(
+            spark, dup_emb_dir, n_queries=4, k=5, n_centroids=8, n_probe=8
+        ).collect(),
+        key=lambda r: (r["q"], r["rank"]),
+    )
+    exact = sorted(
+        pl.embedding_topk(spark, dup_emb_dir, n_queries=4, k=5).collect(),
+        key=lambda r: (r["q"], r["rank"]),
+    )
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_embedding_ivf_respects_probed_lists(spark, dup_emb_dir):
+    """Partial probe: every returned candidate must be assigned (by
+    the same deterministic integer-dot argmax, recomputed in numpy) to
+    one of the query's probed centroid lists, and sims must be the
+    exact cosine."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{dup_emb_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    VQ = np.floor(V * pl.ANN_QUANT + 0.5).astype(np.int64)
+    C = np.array(pl.ivf_centroids(V.shape[1], 8), dtype=np.int64)
+    dots = VQ @ C.T  # (n, 8) exact integer
+    # argmax with min-cid ties
+    assign = {int(i): int(np.argmax(d)) for i, d in zip(ids, dots)}
+    order = np.argsort(-dots, axis=1, kind="stable")
+    probed = {int(i): set(map(int, o[:2])) for i, o in zip(ids, order)}
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sim = {(int(a), int(b)): float(Vn[ia] @ Vn[ib])
+           for ia, a in enumerate(ids) for ib, b in enumerate(ids) if a != b}
+    out = pl.embedding_ivf_topk(
+        spark, dup_emb_dir, n_queries=4, k=5, n_centroids=8, n_probe=2
+    ).collect()
+    assert out, "ivf returned nothing"
+    for r in out:
+        assert assign[r["vec_id"]] in probed[r["q"]]
+        assert abs(r["sim"] - sim[(r["q"], r["vec_id"])]) < 1e-5

@@ -50,3 +50,45 @@ def test_streaming_degrees_is_streaming(spark, tmp_path):
 
     sdf = streaming_degrees(edge_stream(spark, inp), watermark="1 hour")
     assert sdf.isStreaming
+
+
+def test_streaming_hub_alerts_fire_once(spark, tmp_path):
+    """applyInPandasWithState hub detector: alerts exactly once, the
+    batch the cumulative degree crosses the threshold, with the
+    emitted-once bit surviving across checkpointed drains."""
+    from linkgraph.streaming import streaming_hub_alerts
+
+    inp = str(tmp_path / "in3")
+    ck = str(tmp_path / "ck3")
+    out = str(tmp_path / "alerts")
+
+    def drain():
+        # parquet sink: supports checkpoint recovery (memory sink
+        # does not), so the same checkpoint carries state across drains
+        q = (
+            streaming_hub_alerts(edge_stream(spark, inp), threshold=3)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {(r["id"], r["degree"]) for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return set()
+
+    # batch 1: vertex 7 at degree 2 — below threshold, no alert
+    _write_batch(spark, inp, [(7, 1), (7, 2), (8, 1)])
+    assert drain() == set()
+
+    # batch 2: vertex 7 crosses 3 -> exactly one alert at its
+    # cumulative degree; vertex 8 still below
+    _write_batch(spark, inp, [(7, 3), (7, 4)])
+    assert drain() == {(7, 4)}
+
+    # batch 3: more edges for 7 — already alerted, stays silent
+    _write_batch(spark, inp, [(7, 5)])
+    assert drain() == {(7, 4)}

@@ -51,12 +51,17 @@ def main() -> int:
     single = topk_sets(pl.embedding_ann(spark, sf_dir, n_queries=nq, k=k,
                                         bits=pl.ANN_BITS, tables=pl.ANN_TABLES,
                                         multiprobe=False))
+    # IVF scale path at auto geometry (n_centroids ~ sqrt(N))
+    ivf = topk_sets(pl.embedding_ivf_topk(spark, sf_dir, n_queries=nq, k=k))
+    ivf_c, ivf_p = pl.ivf_auto_params(n_vec)
     print(json.dumps({
         "sf_dir": sf_dir, "n_queries": nq, "k": k, "n_vectors": n_vec,
         "auto_bits": auto_bits, "auto_tables": auto_tables,
         "auto_recall": round(recall(exact, auto), 4),
         "gate8x4_multiprobe_recall": round(recall(exact, multi), 4),
         "gate8x4_singleprobe_recall": round(recall(exact, single), 4),
+        "ivf_centroids": ivf_c, "ivf_probe": ivf_p,
+        "ivf_auto_recall": round(recall(exact, ivf), 4),
     }))
     spark.stop()
     return 0
