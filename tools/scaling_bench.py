@@ -41,11 +41,22 @@ import sys
 
 WORKER = r"""
 import json, os, statistics, sys, time
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
-sys.path.insert(0, {repo!r})
-
 cpus = int(sys.argv[1]); nv = int(sys.argv[2]); deg = int(sys.argv[3]); rounds = int(sys.argv[4])
 mode = sys.argv[5] if len(sys.argv) > 5 else "join"
+# Faithful executor-memory scaling: a real N->4N-executor scale-up
+# multiplies TOTAL cluster memory by 4 along with the cores. With
+# SPARK_GRAFT_MEM_PER_CORE_MB set, each leg's heap is cores x that
+# (e.g. 3072 MB/core -> 24g at local[8], 96g at local[32]), matching a
+# cluster whose executors have a fixed memory:core ratio. Unset, both
+# legs share a fixed 24g heap (the pre-r4 same-total-memory protocol,
+# which at 1B edges starves the high-parallelism leg: its working set
+# spills while the low leg's CPUs, not memory, are the binding limit).
+mpc = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_MB", "0"))
+if mpc:
+    os.environ["SPARK_DRIVER_MEMORY"] = str(cpus * mpc) + "m"
+else:
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+sys.path.insert(0, {repo!r})
 tuned = mode.endswith("_tuned")
 
 extra = {{}}
@@ -121,7 +132,14 @@ def main() -> None:
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     n_lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     mode = sys.argv[5] if len(sys.argv) > 5 else "join"
+    # optional 7th arg: "lo" / "hi" to run a single leg (prints that
+    # leg's JSON only — lets a long run reuse an already-recorded leg)
+    leg = sys.argv[6] if len(sys.argv) > 6 else "both"
     n_hi = n_lo * 4
+    if leg in ("lo", "hi"):
+        print(json.dumps(run_level(repo, n_lo if leg == "lo" else n_hi,
+                                   nv, deg, rounds, mode)))
+        return
     lo = run_level(repo, n_lo, nv, deg, rounds, mode)
     hi = run_level(repo, n_hi, nv, deg, rounds, mode)
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / (n_hi / n_lo)
