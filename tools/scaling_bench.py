@@ -52,7 +52,23 @@ mode = sys.argv[5] if len(sys.argv) > 5 else "join"
 # which at 1B edges starves the high-parallelism leg: its working set
 # spills while the low leg's CPUs, not memory, are the binding limit).
 mpc = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_MB", "0"))
-if mpc:
+# SPARK_GRAFT_CLUSTER_MODE=1: the most faithful two-cluster-size
+# emulation this sandbox allows — Spark's local-cluster master spawns
+# REAL separate executor JVMs (cpus//8 executors x 8 cores, each with
+# its own heap, GC, and netty shuffle endpoint), so "N vs 4N
+# executors" is literally 1 vs 4 executor processes instead of one
+# JVM pretending. Requires SPARK_GRAFT_MEM_PER_CORE_MB.
+cluster = os.environ.get("SPARK_GRAFT_CLUSTER_MODE") == "1" and mpc > 0
+master = None
+exec_conf = {{}}
+if cluster:
+    n_exec = max(1, cpus // 8)
+    cores_pe = min(8, cpus)
+    mem_pe = cores_pe * mpc
+    master = "local-cluster[%d,%d,%d]" % (n_exec, cores_pe, mem_pe)
+    exec_conf["spark.executor.memory"] = str(mem_pe) + "m"
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
+elif mpc:
     os.environ["SPARK_DRIVER_MEMORY"] = str(cpus * mpc) + "m"
 else:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
@@ -76,7 +92,9 @@ from linkgraph.graph import Graph
 from linkgraph.algos.pagerank import pagerank
 from linkgraph.csr import pagerank_csr
 
-spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+extra.update(exec_conf)
+spark = get_spark(app_name=f"scaling-{{cpus}}",
+                  master=master or f"local[{{cpus}}]",
                   shuffle_partitions=P, extra_conf=extra)
 e = skewed_graph(spark, n_vertices=nv, avg_degree=deg, seed=42)
 if tuned:
@@ -95,6 +113,7 @@ secs = [m["superstep_sec"] for m in res.metrics]
 # warm-up, a one-time cost irrelevant at production iteration counts)
 steady = statistics.median(secs[len(secs) // 2:])
 print(json.dumps({{"cpus": cpus, "mode": mode, "partitions": P,
+                  "master": master or f"local[{{cpus}}]",
                   "n_edges": n_edges, "rounds": rounds,
                   "wall_s": round(wall, 2),
                   "superstep_secs": [round(s, 2) for s in secs],
