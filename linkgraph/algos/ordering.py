@@ -75,9 +75,11 @@ def degeneracy_ordering(
     ranked_frames: list[DataFrame] = []
     rounds = 0
     metrics: list[dict] = []
+    drained = False
     while rounds < max_rounds:
         n_active = active.count()
         if n_active == 0:
+            drained = True
             break
         rem = active.where(F.col("d") <= dg).select("id").localCheckpoint(eager=True)
         n_rem = rem.count()
@@ -110,7 +112,9 @@ def degeneracy_ordering(
         "id", F.coalesce("rank", F.lit(-1)).cast("long").alias("rank")
     )
     edges.unpersist()
-    return SuperstepResult(state=state, rounds=rounds, converged=True, metrics=metrics)
+    # converged=False ⇔ some vertex carries rank -1 (max_rounds hit, or a
+    # stale caller-supplied shell made a wave remove nothing)
+    return SuperstepResult(state=state, rounds=rounds, converged=drained, metrics=metrics)
 
 
 def onion_layers(
@@ -155,9 +159,11 @@ def onion_layers(
     layer_frames: list[DataFrame] = []
     rounds = 0
     metrics: list[dict] = []
+    drained = False
     while rounds < max_rounds:
         n_active = active.count()
         if n_active == 0:
+            drained = True
             break
         rem = active.where(F.col("d") <= F.col("core")).select("id") \
                     .localCheckpoint(eager=True)
@@ -193,4 +199,6 @@ def onion_layers(
     )
     ec.unpersist()
     edges.unpersist()
-    return SuperstepResult(state=state, rounds=rounds, converged=True, metrics=metrics)
+    # converged=False ⇔ some vertex carries layer -1 (max_rounds hit, or an
+    # inconsistent shell input made a wave remove nothing)
+    return SuperstepResult(state=state, rounds=rounds, converged=drained, metrics=metrics)

@@ -268,3 +268,19 @@ def test_min_edge_cover_size(spark):
     # bounds: Gallai for maximum matching gives n - m* <= ec' and a
     # maximal matching is >= m*/2, so ec is within [n/2, n]
     assert len(adj) / 2 <= ec <= len(adj)
+
+
+def test_ordering_converged_flags(spark):
+    pairs = _rand_und(24, 60, seed=31)
+    g = _graph(spark, pairs)
+    # a full run drains the peel and must report converged=True
+    assert degeneracy_ordering(g).converged is True
+    assert onion_layers(g).converged is True
+    # max_rounds=0 leaves every vertex unranked (rank/layer -1): the
+    # exhaustion must be reported, not silently marked converged
+    r0 = degeneracy_ordering(g, max_rounds=0)
+    assert r0.converged is False
+    assert all(x["rank"] == -1 for x in r0.state.collect())
+    l0 = onion_layers(g, max_rounds=0)
+    assert l0.converged is False
+    assert all(x["layer"] == -1 for x in l0.state.collect())
