@@ -137,7 +137,16 @@ def run_level(repo: str, cpus: int, nv: int, deg: int, rounds: int,
         # the low-parallelism leg and understating N->4N efficiency.
         # taskset confines the whole JVM to exactly N hardware cores.
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    except subprocess.CalledProcessError as e:
+        # surface the child's own failure (executor loss, OOM, disk
+        # full) instead of a bare non-zero-exit traceback
+        sys.stderr.write("--- child stdout (tail) ---\n")
+        sys.stderr.write((e.stdout or "")[-4000:] + "\n")
+        sys.stderr.write("--- child stderr (tail) ---\n")
+        sys.stderr.write((e.stderr or "")[-8000:] + "\n")
+        raise
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     res["cpu_pinned"] = pinned
