@@ -67,6 +67,14 @@ if cluster:
     mem_pe = cores_pe * mpc
     master = "local-cluster[%d,%d,%d]" % (n_exec, cores_pe, mem_pe)
     exec_conf["spark.executor.memory"] = str(mem_pe) + "m"
+    # ContextCleaner releases dropped shuffle files only when the
+    # DRIVER JVM garbage-collects; in cluster mode the driver is a
+    # skinny idle 8g process that may not GC for the whole run, so at
+    # 1B-edge scale the per-round truncated shuffles accumulate on
+    # disk until ENOSPC kills an executor (observed: ~40 min in,
+    # ~2 GB/min growth). Spark's periodicGC default is 30 min; force
+    # it well under the time-to-disk-full.
+    exec_conf["spark.cleaner.periodicGC.interval"] = "90s"
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
 elif mpc:
     os.environ["SPARK_DRIVER_MEMORY"] = str(cpus * mpc) + "m"
