@@ -812,12 +812,31 @@ def _q_covers(spark, sf_dir):
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + SimHash document fingerprints consolidated into one
-    gate (registry stays ≤50): one row per (doc_id, seed) carrying the
-    seed's minhash and the doc's 32-bit simhash alongside."""
+    """MinHash + SimHash + winnowed rolling-hash document fingerprints
+    consolidated into one gate (registry stays ≤50): one row per
+    (doc_id, seed) carrying the seed's minhash, the doc's 32-bit
+    simhash, and the doc's winnowing-fingerprint-set summary
+    (count / sum / min of the distinct Rabin–Karp winnow fingerprints,
+    pipeline.rolling_fingerprints) alongside."""
     mh = pl.minhash_signatures(spark, sf_dir)
     sh = pl.simhash(spark, sf_dir)
-    return mh.join(sh, "doc_id").select("doc_id", "seed", "minhash", "simhash")
+    rsum = (
+        pl.rolling_fingerprints(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("winnow_n"),
+            F.sum("fp").alias("winnow_sum"),
+            F.min("fp").alias("winnow_min"),
+        )
+    )
+    return (
+        mh.join(sh, "doc_id")
+        .join(rsum, "doc_id", "left")
+        .select(
+            "doc_id", "seed", "minhash", "simhash",
+            "winnow_n", "winnow_sum", "winnow_min",
+        )
+    )
 
 
 # pinned IVF gate geometry (the DuckDB twin embeds the centroid
@@ -2659,9 +2678,41 @@ sh AS (
     SELECT doc_id,
            CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
            AS simhash
-    FROM perbit GROUP BY doc_id)
-SELECT sig.doc_id, sig.seed, sig.minhash, sh.simhash
-FROM sig JOIN sh ON sh.doc_id = sig.doc_id"""
+    FROM perbit GROUP BY doc_id),
+rpos AS (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - {rk1})) AS i
+    FROM documents WHERE length(text) >= {rk}),
+rh AS (
+    SELECT doc_id, i, ({rterms}) % {rm} AS kh,
+           count(*) OVER (PARTITION BY doc_id) AS ng
+    FROM rpos),
+rwin AS (
+    SELECT doc_id, i, ng,
+           min(kh) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND {rw1} FOLLOWING) AS fp
+    FROM rh),
+rfp AS (
+    SELECT DISTINCT doc_id, fp FROM rwin
+    WHERE i <= greatest(1, ng - {rw1})),
+rsum AS (
+    SELECT doc_id, count(*) AS winnow_n,
+           CAST(sum(fp) AS BIGINT) AS winnow_sum, min(fp) AS winnow_min
+    FROM rfp GROUP BY doc_id)
+SELECT sig.doc_id, sig.seed, sig.minhash, sh.simhash,
+       r.winnow_n, r.winnow_sum, r.winnow_min
+FROM sig JOIN sh ON sh.doc_id = sig.doc_id
+LEFT JOIN rsum r ON r.doc_id = sig.doc_id""".format(
+            rk=pl.ROLL_K,
+            rk1=pl.ROLL_K - 1,
+            rw1=pl.ROLL_W - 1,
+            rm=pl.ROLL_M,
+            rterms=" + ".join(
+                "(CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {p}) % {m}".format(
+                    j=j, p=pow(pl.ROLL_B, pl.ROLL_K - 1 - j, pl.ROLL_M), m=pl.ROLL_M
+                )
+                for j in range(pl.ROLL_K)
+            ),
+        )
     )
     sql["dedup_clusters"] = (
         "WITH RECURSIVE "

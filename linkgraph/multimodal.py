@@ -176,6 +176,116 @@ def image_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (real — no codec libs
+    needed): integer index sampling on both axes."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[yi][:, xi]
+
+
+def _resize_kernel(out_w: int, out_h: int):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                small = resize_image(decode_image(bytes(blob)), out_w, out_h)
+                rows.append(
+                    (
+                        doc_id,
+                        out_w,
+                        out_h,
+                        b"P6\n%d %d\n255\n" % (out_w, out_h) + small.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "blob"])
+
+    return kernel
+
+
+def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """(doc_id, blob) → (doc_id, width, height, blob): decode (REAL for
+    PPM/BMP), nearest-neighbor downsample, re-encode as P6 PPM — the
+    image-normalization primitive of a multimodal training pipeline.
+    Per-image work is independent → linear scale; output rows are
+    bounded at out_w·out_h·3 bytes regardless of input size, so the
+    shuffle after this stage shrinks with the resize ratio."""
+    return images.select("doc_id", "blob").mapInPandas(
+        _resize_kernel(out_w, out_h),
+        schema="doc_id long, width long, height long, blob binary",
+    )
+
+
+# --- video frame sampling -------------------------------------------------
+# Real video codecs are absent in this container; the RAWV test
+# container (magic + w/h/n_frames header + concatenated raw RGB24
+# frames) keeps the Spark-side plumbing — schema, batch shape, per-frame
+# explode — real while the codec boundary stays an honest stub.
+RAWV_MAGIC = b"RAWV"
+_RAWV_HEADER = 16  # magic(4) + w(4) + h(4) + n_frames(4), little-endian
+
+
+def make_video(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic synthetic RAWV clip (pure numpy) — the test
+    payload generator for the frame-sampling path."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n_frames, height, width, 3), dtype=np.uint8)
+    head = RAWV_MAGIC + b"".join(
+        int(v).to_bytes(4, "little") for v in (width, height, n_frames)
+    )
+    return head + frames.tobytes()
+
+
+def decode_video_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, header_offset) for a RAWV payload;
+    other containers raise NotImplementedError (codec libs absent —
+    same stub discipline as decode_image)."""
+    if payload[:4] != RAWV_MAGIC:
+        raise NotImplementedError(
+            "only the RAWV test container is decodable here (video codecs absent)"
+        )
+    w = int.from_bytes(payload[4:8], "little")
+    h = int.from_bytes(payload[8:12], "little")
+    n = int.from_bytes(payload[12:16], "little")
+    return w, h, n, _RAWV_HEADER
+
+
+def _frame_sample_kernel(every_k: int):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                w, h, n, off = decode_video_meta(b)
+                fsz = w * h * 3
+                for idx in range(0, n, every_k):
+                    start = off + idx * fsz
+                    rows.append((doc_id, idx, w, h, b[start : start + fsz]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "frame"]
+            )
+
+    return kernel
+
+
+def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """(doc_id, blob) → one row per sampled frame (every k-th):
+    (doc_id, frame_idx, width, height, frame: binary) — the
+    frame-sampling primitive for video training data. The explode
+    happens INSIDE the Arrow kernel so a clip never round-trips whole
+    through the shuffle; downstream stages see fixed-size raw frames
+    they can feed to resize_images-style kernels."""
+    return videos.select("doc_id", "blob").mapInPandas(
+        _frame_sample_kernel(every_k),
+        schema="doc_id long, frame_idx long, width long, height long, frame binary",
+    )
+
+
 def blob_features(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bytes, content_sha, feature: array<double>) via the
     Arrow-batched kernel. The sha256 doubles as the per-row invariant

@@ -296,6 +296,60 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
     )
 
 
+ROLL_K = 8           # fingerprint k-gram length (noise threshold t = K+W-1)
+ROLL_W = 4           # winnow window: any match ≥ K+W-1 chars is guaranteed caught
+ROLL_B = 257         # polynomial rolling-hash base
+ROLL_M = 1_000_000_007
+
+
+def rolling_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = ROLL_K, w: int = ROLL_W
+) -> DataFrame:
+    """Document fingerprinting by winnowing a rolling k-gram hash
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm):
+    hash every k-char window of the text with a Rabin–Karp polynomial
+    hash, then keep the minimum hash of each w-consecutive-hash window.
+    Output: distinct (doc_id, fp) — the fingerprint set; any substring
+    match of length ≥ k+w-1 between two documents is guaranteed to
+    share a fingerprint.
+
+    Spark-first evaluation: Rabin–Karp's sequential rolling update
+    h[i+1] = (h[i] - c[i]·B^{k-1})·B + c[i+k] is a SERIAL optimization;
+    here each position's hash is evaluated directly as
+    Σ_j c[i+j]·B^{k-1-j} mod M — identical values, O(k) per char,
+    embarrassingly parallel and fully inside whole-stage codegen (no
+    UDF). Winnowing is one per-document window min. Rows scale as
+    Σ|text| (the corpus byte count), keyed by doc — linear, no skew
+    beyond a single document's length.
+
+    Reference parity: complements minhash/simhash per SURVEY.md's
+    training-data-pipeline inventory (document fingerprinting)."""
+    from pyspark.sql import Window
+
+    pows = [pow(ROLL_B, k - 1 - j, ROLL_M) for j in range(k)]
+    term_sql = " + ".join(
+        f"(CAST(ascii(substring(text, i + {j}, 1)) AS BIGINT) * {pows[j]}L) % {ROLL_M}"
+        for j in range(k)
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(F.length("text") >= k)
+    h = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i"),
+        "text",
+    ).select("doc_id", "i", F.expr(f"({term_sql}) % {ROLL_M}").alias("kh"))
+    per_doc = Window.partitionBy("doc_id")
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        h.withColumn("ng", F.count("*").over(per_doc))
+        .withColumn("fp", F.min("kh").over(win))
+        # full windows only, except: a doc with fewer than w k-grams
+        # still emits one (truncated-window) fingerprint
+        .where(F.col("i") <= F.greatest(F.lit(1), F.col("ng") - (w - 1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def embedding_topk(
     spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 10
 ) -> DataFrame:

@@ -141,3 +141,53 @@ def test_graph_save_load_roundtrip(spark, tmp_path):
     g2 = Graph.load(spark, p)
     assert g2.directed is False and g2.weight_col == "w"
     assert sorted(map(tuple, g2.edges.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    blobs = [(i, mm.make_ppm(16 + 4 * i, 12 + 2 * i, seed=i)) for i in range(3)]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    out = {r["doc_id"]: r for r in mm.resize_images(df, out_w=8, out_h=6).collect()}
+    assert len(out) == 3
+    for i in range(3):
+        r = out[i]
+        assert (r["width"], r["height"]) == (8, 6)
+        got = mm.decode_image(bytes(r["blob"]))  # round-trips through PPM
+        want = mm.resize_image(mm.decode_image(mm.make_ppm(16 + 4 * i, 12 + 2 * i, seed=i)), 8, 6)
+        assert got.shape == (6, 8, 3)
+        assert np.array_equal(got, want)
+
+
+def test_resize_image_identity_and_upsample():
+    import numpy as np
+
+    img = mm.decode_image(mm.make_ppm(5, 4, seed=7))
+    assert np.array_equal(mm.resize_image(img, 5, 4), img)  # no-op resize
+    up = mm.resize_image(img, 10, 8)  # nearest-neighbor: each pixel doubled
+    assert np.array_equal(up[::2, ::2], img) and np.array_equal(up[1::2, 1::2], img)
+
+
+def test_sample_frames(spark):
+    import numpy as np
+
+    clips = [(0, mm.make_video(4, 3, 7, seed=1)), (1, mm.make_video(2, 2, 1, seed=2))]
+    df = spark.createDataFrame(clips, "doc_id long, blob binary")
+    rows = mm.sample_frames(df, every_k=3).collect()
+    by_doc: dict[int, dict[int, bytes]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+        assert (r["width"], r["height"]) in [(4, 3), (2, 2)]
+    assert sorted(by_doc[0]) == [0, 3, 6]  # every 3rd of 7 frames
+    assert sorted(by_doc[1]) == [0]
+    # frame bytes match the generator's raw frames exactly
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(7, 3, 4, 3), dtype=np.uint8)
+    for idx in (0, 3, 6):
+        assert by_doc[0][idx] == frames[idx].tobytes()
+        assert len(by_doc[0][idx]) == 4 * 3 * 3
+
+
+def test_video_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_video_meta(b"\x00\x00\x01\xba mpeg-ps")

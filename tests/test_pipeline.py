@@ -220,3 +220,58 @@ def test_embedding_ivf_respects_probed_lists(spark, dup_emb_dir):
     for r in out:
         assert assign[r["vec_id"]] in probed[r["q"]]
         assert abs(r["sim"] - sim[(r["q"], r["vec_id"])]) < 1e-5
+
+
+def _winnow_ref(text: str, k: int = pl.ROLL_K, w: int = pl.ROLL_W) -> set[int]:
+    """Independent pure-Python winnowing reference: genuinely ROLLING
+    Rabin-Karp update (the serial recurrence the Spark plan replaces
+    with direct per-position evaluation — values must agree)."""
+    if len(text) < k:
+        return set()
+    b, m = pl.ROLL_B, pl.ROLL_M
+    top = pow(b, k - 1, m)
+    h = 0
+    for c in text[:k]:
+        h = (h * b + ord(c)) % m
+    hashes = [h]
+    for i in range(1, len(text) - k + 1):
+        h = ((h - ord(text[i - 1]) * top) * b + ord(text[i + k - 1])) % m
+        hashes.append(h)
+    if len(hashes) < w:
+        return {min(hashes)}
+    return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+
+
+def test_rolling_fingerprints_match_rolling_reference(spark, doc_dir):
+    got: dict[int, set[int]] = {}
+    for r in pl.rolling_fingerprints(spark, doc_dir).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text, *_ in DOCS:
+        assert got.get(doc_id, set()) == _winnow_ref(text), doc_id
+
+
+def test_rolling_fingerprints_guarantee(spark, doc_dir):
+    """Docs 0 and 1 share a 39-char prefix >= K+W-1: winnowing
+    guarantees a shared fingerprint. Doc 4 shares nothing that long
+    with doc 0."""
+    got: dict[int, set[int]] = {}
+    for r in pl.rolling_fingerprints(spark, doc_dir).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got[0] & got[1]
+    assert got[0] == got[3]  # exact dup -> identical fingerprint set
+    assert not (got[0] & got[4])
+
+
+def test_rolling_fingerprints_short_docs(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("shortdocs")
+    rows = [(0, "ab", "en", "s", 2), (1, "exactly8", "en", "s", 8),
+            (2, "ninechars", "en", "s", 9)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got: dict[int, set[int]] = {}
+    for r in pl.rolling_fingerprints(spark, str(d)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 0 not in got                      # shorter than K: no grams
+    assert got[1] == _winnow_ref("exactly8")   # 1 gram -> 1 fingerprint
+    assert got[2] == _winnow_ref("ninechars")  # 2 grams < W -> min of both
