@@ -219,6 +219,108 @@ def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
     )
 
 
+# --- audio: REAL RIFF/WAV PCM decode (pure numpy) --------------------------
+
+
+def make_wav(
+    n_samples: int, rate: int = 8000, channels: int = 1, seed: int = 0
+) -> bytes:
+    """Deterministic synthetic PCM-16 WAV (pure numpy) — the test
+    payload generator for the audio path."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-(2**15), 2**15, size=(n_samples, channels)).astype("<i2")
+    data = pcm.tobytes()
+    block = channels * 2
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")  # bits/sample
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAV payload to ((n_samples, channels) int16, rate).
+
+    REAL decoder, pure numpy: uncompressed PCM-16 WAV — the one audio
+    container decodable without codec libraries. Chunk-walks the RIFF
+    structure (fmt may be followed by LIST/fact chunks before data).
+    Compressed formats (mp3/ogg/flac, non-PCM WAV) raise
+    NotImplementedError — same stub discipline as decode_image."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio container (PCM WAV decodable; codec libs absent)"
+        )
+    pos, channels, rate, bits, fmt = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt = int.from_bytes(payload[body : body + 2], "little")
+            channels = int.from_bytes(payload[body + 2 : body + 4], "little")
+            rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+            bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM-16 WAV supported")
+            pcm = np.frombuffer(payload, dtype="<i2", count=sz // 2, offset=body)
+            return pcm.reshape(-1, channels), rate
+        pos = body + sz + (sz & 1)  # chunks are word-aligned
+    raise NotImplementedError("WAV data chunk not found")
+
+
+def _audio_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            pcm, rate = decode_audio(bytes(blob))
+            x = pcm.astype(np.float64)
+            rows.append(
+                (
+                    doc_id,
+                    int(pcm.shape[0]),
+                    int(pcm.shape[1]),
+                    rate,
+                    pcm.shape[0] / rate,
+                    float(np.sqrt((x**2).mean())) if x.size else 0.0,
+                    int(np.abs(pcm).max()) if pcm.size else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "channels", "rate",
+                "duration_s", "rms", "peak",
+            ],
+        )
+
+
+def audio_stats(audios: DataFrame) -> DataFrame:
+    """(doc_id, blob) → per-clip waveform stats through the REAL
+    PCM-WAV decode path: (doc_id, n_samples, channels, rate,
+    duration_s, rms, peak). The audio analog of image_stats — same
+    Arrow-batched independent-row kernel, linear scale."""
+    return audios.select("doc_id", "blob").mapInPandas(
+        _audio_stats_kernel,
+        schema=(
+            "doc_id long, n_samples long, channels long, rate long, "
+            "duration_s double, rms double, peak long"
+        ),
+    )
+
+
 # --- video frame sampling -------------------------------------------------
 # Real video codecs are absent in this container; the RAWV test
 # container (magic + w/h/n_frames header + concatenated raw RGB24

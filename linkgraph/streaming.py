@@ -13,6 +13,10 @@ Shape:
   * ``streaming_degrees`` — continuously maintained per-vertex degree
     counts (stateful aggregation), the canonical incremental graph
     stat; with an event-time column, a watermark bounds state.
+  * ``streaming_edge_rates`` — event-time tumbling-window arrival
+    rates with watermark-finalized windows (late-data handling).
+  * ``streaming_hub_alerts`` — custom stateful operator
+    (applyInPandasWithState): fire-once hub detection.
 
 All of it is plain Structured Streaming — declared sources/sinks,
 checkpointed state, no custom receivers — so the same code runs
@@ -99,6 +103,35 @@ def run_degree_snapshot(
     )
     q.awaitTermination()
     spark.table("deg_snapshot").write.mode("overwrite").parquet(out_path)
+
+
+def streaming_edge_rates(
+    edges: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time TUMBLING-WINDOW edge-arrival rates with late-data
+    handling: (window_start, window_end, n_edges, n_src) per window.
+    The watermark bounds state — windows older than max(event time) −
+    watermark are finalized and dropped from the store, so state stays
+    O(active windows) regardless of stream length; rows later than the
+    watermark are discarded (counted as late, the documented Structured
+    Streaming contract). This is the canonical windowed-agg shape the
+    ingestion monitor needs (edges/sec per window, distinct sources)."""
+    return (
+        edges.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.approx_count_distinct("src").alias("n_src"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_edges",
+            "n_src",
+        )
+    )
 
 
 def streaming_hub_alerts(edges: DataFrame, threshold: int = 1000) -> DataFrame:

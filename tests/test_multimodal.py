@@ -191,3 +191,38 @@ def test_sample_frames(spark):
 def test_video_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_video_meta(b"\x00\x00\x01\xba mpeg-ps")
+
+
+def test_decode_audio_roundtrip():
+    import numpy as np
+
+    wav = mm.make_wav(100, rate=16000, channels=2, seed=3)
+    pcm, rate = mm.decode_audio(wav)
+    assert rate == 16000 and pcm.shape == (100, 2)
+    rng = np.random.default_rng(3)
+    want = rng.integers(-(2**15), 2**15, size=(100, 2)).astype("<i2")
+    assert np.array_equal(pcm, want)
+
+
+def test_audio_stats(spark):
+    import numpy as np
+
+    clips = [(i, mm.make_wav(800 * (i + 1), rate=8000, seed=i)) for i in range(3)]
+    df = spark.createDataFrame(clips, "doc_id long, blob binary")
+    out = {r["doc_id"]: r for r in mm.audio_stats(df).collect()}
+    for i in range(3):
+        r = out[i]
+        assert r["n_samples"] == 800 * (i + 1) and r["rate"] == 8000
+        assert abs(r["duration_s"] - 0.1 * (i + 1)) < 1e-9
+        pcm, _ = mm.decode_audio(mm.make_wav(800 * (i + 1), rate=8000, seed=i))
+        assert abs(r["rms"] - np.sqrt((pcm.astype(float) ** 2).mean())) < 1e-6
+        assert r["peak"] == int(np.abs(pcm).max())
+
+
+def test_audio_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04mp3 payload")
+    with pytest.raises(NotImplementedError):  # non-PCM WAV
+        bad = bytearray(mm.make_wav(10))
+        bad[20] = 3  # fmt code -> IEEE float
+        mm.decode_audio(bytes(bad))

@@ -92,3 +92,55 @@ def test_streaming_hub_alerts_fire_once(spark, tmp_path):
     # batch 3: more edges for 7 — already alerted, stays silent
     _write_batch(spark, inp, [(7, 5)])
     assert drain() == {(7, 4)}
+
+
+def test_streaming_edge_rates_windows_and_late_rows(spark, tmp_path):
+    """Tumbling event-time windows with a watermark: counts land in
+    the right window; a row older than the watermark behind the
+    stream's max event time is dropped from an already-finalized
+    window."""
+    from linkgraph.streaming import streaming_edge_rates
+
+    inp = str(tmp_path / "in4")
+    ck = str(tmp_path / "ck4")
+    out = str(tmp_path / "rates")
+
+    def write(ts_rows):
+        spark.createDataFrame(
+            [(s, d, 1.0, t) for (s, d, t) in ts_rows],
+            "src long, dst long, weight double, ts timestamp",
+        ).write.mode("append").parquet(inp)
+
+    def drain():
+        q = (
+            streaming_edge_rates(
+                edge_stream(spark, inp), window="1 minute", watermark="2 minutes"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {
+                (r["window_start"].minute, r["n_edges"], r["n_src"])
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return set()
+
+    t = lambda m, s=0: dt.datetime(2026, 1, 1, 0, m, s)  # noqa: E731
+    # minute-0 window: 3 edges, 2 distinct sources
+    write([(1, 2, t(0, 1)), (1, 3, t(0, 30)), (4, 2, t(0, 59))])
+    # advance the watermark far past minute 0 (max event time 0:10)
+    write([(5, 6, t(10))])
+    got = drain()  # minute-0 window is finalized and emitted
+    assert (0, 3, 2) in got
+    # a straggler for the closed minute-0 window arrives — beyond the
+    # 2-minute watermark, it must NOT reopen or re-emit the window
+    write([(9, 9, t(0, 45)), (5, 7, t(11))])
+    got2 = drain()
+    assert {(m, n, s) for (m, n, s) in got2 if m == 0} == {(0, 3, 2)}
