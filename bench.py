@@ -121,6 +121,14 @@ def main() -> None:
 
     run2("biconnectivity", _bi)
 
+    from linkgraph.algos.subgraph import kclique_counts
+    from linkgraph.algos.coloring import greedy_color
+
+    run2("kclique_345", lambda: kclique_counts(g, ks=(3, 4, 5)).count())
+
+    col = run2("coloring", lambda: mat(greedy_color(g)))
+    extra["coloring_rounds"] = col.rounds
+
     run2("minhash_lsh", lambda: pl.lsh_candidate_pairs(spark, sf_dir).count())
 
     run2("embedding_topk", lambda: pl.embedding_topk(spark, sf_dir).count())

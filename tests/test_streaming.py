@@ -144,3 +144,50 @@ def test_streaming_edge_rates_windows_and_late_rows(spark, tmp_path):
     write([(9, 9, t(0, 45)), (5, 7, t(11))])
     got2 = drain()
     assert {(m, n, s) for (m, n, s) in got2 if m == 0} == {(0, 3, 2)}
+
+
+def test_incremental_wcc_matches_batch_wcc(spark, tmp_path):
+    """Three micro-batches whose last edge bridges two existing
+    components: the incrementally maintained labels must equal batch
+    wcc() over the union of all edges, at every snapshot."""
+    from linkgraph.algos.wcc import wcc
+    from linkgraph.graph import Graph
+    from linkgraph.streaming import run_incremental_wcc, wcc_snapshot
+
+    inp = str(tmp_path / "in5")
+    state = str(tmp_path / "comps")
+    ck = str(tmp_path / "ck5")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(s, d, 1.0, dt.datetime(2026, 1, 1)) for (s, d) in rows],
+            "src long, dst long, weight double, ts timestamp",
+        ).write.mode("append").parquet(inp)
+
+    def labels():
+        return {
+            (r["id"], r["comp"])
+            for r in wcc_snapshot(spark, state).collect()
+        }
+
+    # batch 1: two separate components {1,2} and {5,6}
+    write([(2, 1), (5, 6)])
+    run_incremental_wcc(spark, inp, state, ck)
+    assert labels() == {(1, 1), (2, 1), (5, 5), (6, 5)}
+
+    # batch 2: grow one component + a fresh singleton pair
+    write([(6, 7), (9, 8)])
+    run_incremental_wcc(spark, inp, state, ck)
+    assert labels() == {(1, 1), (2, 1), (5, 5), (6, 5), (7, 5), (8, 8), (9, 8)}
+
+    # batch 3: bridge {1,2} and {5,6,7} — existing labels must remap
+    write([(7, 2)])
+    run_incremental_wcc(spark, inp, state, ck)
+    got = labels()
+    # ground truth: batch wcc over the full log
+    full = Graph.from_edges(
+        spark.read.parquet(inp).select("src", "dst"), directed=True
+    )
+    want = {(r["id"], r["comp"]) for r in wcc(full).state.collect()}
+    assert got == want
+    assert {c for (v, c) in got if v in (1, 2, 5, 6, 7)} == {1}
