@@ -193,21 +193,58 @@ def streaming_hub_alerts(edges: DataFrame, threshold: int = 1000) -> DataFrame:
 # the table at any snapshot equals batch wcc() over all edges seen.
 
 
+def _list_snap_ids(spark: SparkSession, state_path: str) -> list[int]:
+    """Snapshot ids present under ``state_path``, from a single
+    directory listing via the Hadoop FileSystem API (works on any
+    scheme — local, HDFS, s3a). A listing is O(#snapshots) metadata
+    calls; reading the parquet table to ``max(snap)`` would list every
+    FILE of every snapshot first, which at web scale is millions of
+    status calls per micro-batch."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+    try:
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("snap="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+    except Exception:
+        return []
+
+
 def _latest_wcc_snapshot(spark: SparkSession, state_path: str):
     """(labels DataFrame, snap id) of the newest snapshot dir under
     ``state_path``, or (None, -1) if no snapshot exists yet. Snapshots
     are plain ``snap=<k>`` partition dirs — each batch writes a NEW one
     (copy-on-write), so a concurrent reader never observes a half
     overwrite; this is the same snapshot-isolation contract an Iceberg
-    MERGE INTO gives, expressed on bare parquet."""
-    try:
-        snaps = spark.read.parquet(state_path)
-        latest = snaps.agg(F.max("snap")).collect()[0][0]
-        if latest is None:
-            return None, -1
-        return snaps.where(F.col("snap") == latest).select("id", "comp"), int(latest)
-    except Exception:
+    MERGE INTO gives, expressed on bare parquet. Only the latest dir is
+    read — older snapshots never enter the scan."""
+    snaps = _list_snap_ids(spark, state_path)
+    if not snaps:
         return None, -1
+    latest = snaps[-1]
+    labels = spark.read.parquet(f"{state_path}/snap={latest}").select("id", "comp")
+    return labels, latest
+
+
+def _expire_snapshots(spark: SparkSession, state_path: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` snapshot dirs — without this
+    the label table grows O(batches × V) on disk. Kept ≥2 so a reader
+    that resolved 'latest' just before a new write still has its dir."""
+    snaps = _list_snap_ids(spark, state_path)
+    doomed = snaps[:-keep] if keep > 0 else []
+    if not doomed:
+        return
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for k in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_path}/snap={k}"), True)
 
 
 def wcc_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
@@ -218,7 +255,9 @@ def wcc_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     return labels
 
 
-def merge_edges_into_components(edges: DataFrame, state_path: str) -> None:
+def merge_edges_into_components(
+    edges: DataFrame, state_path: str, retain_snapshots: int | None = None
+) -> None:
     """Union-merge one (finite) edge frame into the label table.
 
     Plan, all keyed joins — no driver-side loops over data:
@@ -279,6 +318,8 @@ def merge_edges_into_components(edges: DataFrame, state_path: str) -> None:
     full.withColumn("snap", F.lit(snap + 1)).write.mode("append").partitionBy(
         "snap"
     ).parquet(state_path)
+    if retain_snapshots is not None:
+        _expire_snapshots(spark, state_path, max(2, retain_snapshots))
 
 
 def run_incremental_wcc(
@@ -286,16 +327,21 @@ def run_incremental_wcc(
     in_path: str,
     state_path: str,
     checkpoint_path: str,
+    retain_snapshots: int | None = None,
 ):
     """Drain the incoming edge directory (availableNow) merging every
     micro-batch into the component-label table — foreachBatch is the
     documented Structured Streaming pattern for sinks that need a
     batch-only operation (the iterative wcc join loop) per epoch; the
-    streaming checkpoint makes the merge exactly-once per batch id."""
+    streaming checkpoint makes the merge exactly-once per batch id.
+    ``retain_snapshots`` bounds state storage to the newest k label
+    snapshots (min 2, so in-flight readers keep their dir)."""
     q = (
         edge_stream(spark, in_path)
         .writeStream.foreachBatch(
-            lambda batch_df, _bid: merge_edges_into_components(batch_df, state_path)
+            lambda batch_df, _bid: merge_edges_into_components(
+                batch_df, state_path, retain_snapshots=retain_snapshots
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)

@@ -191,3 +191,27 @@ def test_incremental_wcc_matches_batch_wcc(spark, tmp_path):
     want = {(r["id"], r["comp"]) for r in wcc(full).state.collect()}
     assert got == want
     assert {c for (v, c) in got if v in (1, 2, 5, 6, 7)} == {1}
+
+
+def test_incremental_wcc_snapshot_retention(spark, tmp_path):
+    """retain_snapshots bounds the label table to the newest k snap
+    dirs while the surviving labels stay correct."""
+    import os
+
+    from linkgraph.streaming import run_incremental_wcc, wcc_snapshot
+
+    inp = str(tmp_path / "in6")
+    state = str(tmp_path / "comps6")
+    ck = str(tmp_path / "ck6")
+
+    for batch in ([(2, 1)], [(5, 6)], [(6, 2)]):
+        spark.createDataFrame(
+            [(s, d, 1.0, dt.datetime(2026, 1, 1)) for (s, d) in batch],
+            "src long, dst long, weight double, ts timestamp",
+        ).write.mode("append").parquet(inp)
+        run_incremental_wcc(spark, inp, state, ck, retain_snapshots=2)
+
+    snaps = sorted(d for d in os.listdir(state) if d.startswith("snap="))
+    assert snaps == ["snap=1", "snap=2"]
+    got = {(r["id"], r["comp"]) for r in wcc_snapshot(spark, state).collect()}
+    assert got == {(1, 1), (2, 1), (5, 1), (6, 1)}
