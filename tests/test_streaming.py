@@ -215,3 +215,28 @@ def test_incremental_wcc_snapshot_retention(spark, tmp_path):
     assert snaps == ["snap=1", "snap=2"]
     got = {(r["id"], r["comp"]) for r in wcc_snapshot(spark, state).collect()}
     assert got == {(1, 1), (2, 1), (5, 1), (6, 1)}
+
+
+def test_run_stream_cli_incremental_wcc_and_snapshot(spark, tmp_path):
+    """jobs/run_stream.py drives the incremental-WCC merge and the
+    snapshot query end-to-end (reuses the fixture session via
+    getOrCreate)."""
+    import jobs.run_stream as rs
+
+    inp = str(tmp_path / "in7")
+    state = str(tmp_path / "comps7")
+    ck = str(tmp_path / "ck7")
+    spark.createDataFrame(
+        [(2, 1, 1.0, dt.datetime(2026, 1, 1)), (5, 6, 1.0, dt.datetime(2026, 1, 1))],
+        "src long, dst long, weight double, ts timestamp",
+    ).write.parquet(inp)
+
+    assert rs.main([
+        "incremental_wcc", "--in", inp, "--state", state,
+        "--checkpoint", ck, "--retain-snapshots", "2",
+    ]) == 0
+
+    out = str(tmp_path / "labels7")
+    assert rs.main(["snapshot", "--state", state, "--output", out]) == 0
+    got = {(r["id"], r["comp"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5)}
