@@ -187,3 +187,54 @@ def test_incremental_wcc_equals_batch_wcc(spark, tmp_path_factory, edges, cut):
     got = {(r["id"], r["comp"]) for r in wcc_snapshot(spark, state).collect()}
     want = set(_union_find_components(edges).items())
     assert got == want
+
+
+@given(edges=edge_lists)
+@SET
+def test_pagerank_allclose_1e6_vs_numpy(spark, edges):
+    """The north-rule parity clause: per-vertex scores within 1e-6 of
+    the golden implementation, on arbitrary graphs (dangling vertices,
+    self-loops, duplicates)."""
+    from linkgraph import oracle
+    from linkgraph.algos.pagerank import pagerank
+    from linkgraph.graph import Graph
+
+    res = pagerank(Graph.from_edges(_df(spark, edges), directed=True), tol=1e-9)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    ids, rank = oracle.pagerank(
+        [s for s, _ in edges], [d for _, d in edges], directed=True, tol=1e-9
+    )
+    want = dict(zip(ids.tolist(), rank.tolist()))
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert abs(got[v] - w) <= 1e-6, (v, got[v], w)
+
+
+@given(edges=edge_lists)
+@SET
+def test_triangles_match_numpy(spark, edges):
+    from linkgraph import oracle
+    from linkgraph.algos.triangles import triangles
+    from linkgraph.graph import Graph
+
+    got = {
+        (r["id"], r["tri"])
+        for r in triangles(Graph.from_edges(_df(spark, edges), directed=False)).collect()
+    }
+    ids, cnt = oracle.triangles([s for s, _ in edges], [d for _, d in edges])
+    want = set(zip(ids.tolist(), cnt.tolist()))
+    assert got == want
+
+
+@given(edges=edge_lists)
+@SET
+def test_kshell_matches_sequential_peel(spark, edges):
+    from linkgraph import oracle
+    from linkgraph.algos.cores import kshell
+    from linkgraph.graph import Graph
+
+    res = kshell(Graph.from_edges(_df(spark, edges), directed=False))
+    got = {(r["id"], r["shell"]) for r in res.state.collect()}
+    ids, core = oracle.core_numbers([s for s, _ in edges], [d for _, d in edges])
+    want = set(zip(ids.tolist(), core.tolist()))
+    assert got == want
