@@ -14,8 +14,11 @@ Ops:
                     every micro-batch into the component-label table;
                     with --follow, run continuously on a processing-time
                     trigger instead (micro-batch every --interval secs).
-  snapshot          print the current (id, comp) labels (or write them
-                    with --output).
+  incremental_pagerank  drain the landing directory; each micro-batch
+                    re-converges PageRank over the accumulated log,
+                    warm-started from the previous rank snapshot.
+  snapshot          print the current labels/ranks (--kind wcc|pagerank;
+                    write them with --output).
   degree_snapshots  continuously maintained degree table -> --output.
   edge_rates        watermark-finalized per-minute arrival rates -> console.
 
@@ -37,8 +40,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="run_stream")
     ap.add_argument("op", choices=[
-        "incremental_wcc", "snapshot", "degree_snapshots", "edge_rates",
+        "incremental_wcc", "incremental_pagerank", "snapshot",
+        "degree_snapshots", "edge_rates",
     ])
+    ap.add_argument("--kind", choices=["wcc", "pagerank"], default="wcc",
+                    help="which snapshot table to query (snapshot op)")
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--in", dest="in_path", default=None,
                     help="landing directory of edge parquet files")
     ap.add_argument("--state", default=None,
@@ -70,7 +78,8 @@ def main(argv: list[str] | None = None) -> int:
         return val
 
     if args.op == "snapshot":
-        out = st.wcc_snapshot(spark, need("state", args.state))
+        reader = st.wcc_snapshot if args.kind == "wcc" else st.pagerank_snapshot
+        out = reader(spark, need("state", args.state))
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         else:
@@ -79,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
 
     in_path = need("in", args.in_path)
     ck = need("checkpoint", args.checkpoint)
+
+    if args.op == "incremental_pagerank":
+        st.run_incremental_pagerank(
+            spark, in_path, need("state", args.state), ck,
+            alpha=args.alpha, tol=args.tol,
+            retain_snapshots=args.retain_snapshots,
+        )
+        return 0
 
     if args.op == "incremental_wcc":
         state = need("state", args.state)

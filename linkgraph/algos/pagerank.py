@@ -45,8 +45,15 @@ def pagerank(
     num_partitions: int | None = None,
     resume: bool = False,
     broadcast_threshold: int = 500_000,
+    init_ranks: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns state (id: long, rank: double); converged per tol·N L1 rule.
+
+    init_ranks: optional (id, rank) warm start — e.g. the previous
+    snapshot's ranks after the graph grew. The fixpoint is unique, so
+    the result is identical to a cold start; only the round count
+    changes (seeded mass is renormalized to sum 1, vertices absent
+    from the seed start at 1/n).
 
     alpha/max_iter/tol defaults match pagerank_nx
     (python/graphscope/analytical/app/pagerank.py:91-121).
@@ -85,7 +92,18 @@ def pagerank(
         return SuperstepResult(state=verts.select("id", F.lit(0.0).alias("rank")),
                                rounds=0, converged=True)
 
-    init = deg.select("id", "deg", F.lit(1.0 / n).alias("rank")).repartition(P, "id")
+    if init_ranks is not None:
+        seeded = deg.join(
+            init_ranks.select("id", F.col("rank").alias("r0")), "id", "left"
+        ).select("id", "deg", F.coalesce("r0", F.lit(1.0 / n)).alias("rank"))
+        # renormalize once so the seed is a probability vector again
+        # (one scalar aggregate at init, same class as the dangling
+        # bootstrap — not per-round)
+        s = seeded.agg(F.sum("rank").alias("s")).collect()[0]["s"] or 1.0
+        init = seeded.select("id", "deg", (F.col("rank") / F.lit(float(s))).alias("rank"))
+    else:
+        init = deg.select("id", "deg", F.lit(1.0 / n).alias("rank"))
+    init = init.repartition(P, "id")
 
     # dangling mass is computed lazily from the current state (so a
     # resumed run rebuilds it from the checkpoint), then carried

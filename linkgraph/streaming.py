@@ -21,6 +21,10 @@ Shape:
     components: each micro-batch union-merges its edges into a
     snapshot-isolated component-label table (foreachBatch), so labels
     stay current without recomputing WCC over the full edge log.
+  * ``run_incremental_pagerank`` — warm-started PageRank maintenance:
+    each micro-batch re-converges over the accumulated log seeded from
+    the previous rank snapshot (identical fixpoint, far fewer
+    supersteps when the batch perturbs little of the graph).
 
 All of it is plain Structured Streaming — declared sources/sinks,
 checkpointed state, no custom receivers — so the same code runs
@@ -216,8 +220,8 @@ def _list_snap_ids(spark: SparkSession, state_path: str) -> list[int]:
         return []
 
 
-def _latest_wcc_snapshot(spark: SparkSession, state_path: str):
-    """(labels DataFrame, snap id) of the newest snapshot dir under
+def _latest_snapshot(spark: SparkSession, state_path: str, cols: tuple[str, ...]):
+    """(DataFrame of ``cols``, snap id) of the newest snapshot dir under
     ``state_path``, or (None, -1) if no snapshot exists yet. Snapshots
     are plain ``snap=<k>`` partition dirs — each batch writes a NEW one
     (copy-on-write), so a concurrent reader never observes a half
@@ -228,8 +232,12 @@ def _latest_wcc_snapshot(spark: SparkSession, state_path: str):
     if not snaps:
         return None, -1
     latest = snaps[-1]
-    labels = spark.read.parquet(f"{state_path}/snap={latest}").select("id", "comp")
-    return labels, latest
+    frame = spark.read.parquet(f"{state_path}/snap={latest}").select(*cols)
+    return frame, latest
+
+
+def _latest_wcc_snapshot(spark: SparkSession, state_path: str):
+    return _latest_snapshot(spark, state_path, ("id", "comp"))
 
 
 def _expire_snapshots(spark: SparkSession, state_path: str, keep: int) -> None:
@@ -341,6 +349,87 @@ def run_incremental_wcc(
         .writeStream.foreachBatch(
             lambda batch_df, _bid: merge_edges_into_components(
                 batch_df, state_path, retain_snapshots=retain_snapshots
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --- incremental (warm-started) PageRank -------------------------------------
+#
+# PageRank is a GLOBAL fixpoint — unlike WCC there is no sound
+# batch-local merge. The streaming-native form is warm starting: seed
+# each re-convergence from the previous snapshot's ranks, so a batch
+# that perturbs a small part of the graph costs a few supersteps
+# instead of a cold run (the fixpoint is unique, so the answer is
+# IDENTICAL to a cold recompute at the same tol).
+
+
+def pagerank_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current (id, rank) — the queryable snapshot."""
+    ranks, _ = _latest_snapshot(spark, state_path, ("id", "rank"))
+    if ranks is None:
+        return spark.createDataFrame([], "id long, rank double")
+    return ranks
+
+
+def refresh_pagerank_snapshot(
+    full_edges: DataFrame,
+    state_path: str,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    retain_snapshots: int | None = None,
+) -> int:
+    """Re-converge PageRank over ``full_edges`` (the WHOLE edge log,
+    not just a batch), warm-started from the latest snapshot, and write
+    snapshot snap=<k+1>. Returns the superstep count — the number that
+    shrinks as warm starts pay off."""
+    spark = full_edges.sparkSession
+    from linkgraph.algos.pagerank import pagerank
+    from linkgraph.graph import Graph
+
+    prev, snap = _latest_snapshot(spark, state_path, ("id", "rank"))
+    res = pagerank(
+        Graph.from_edges(full_edges.select("src", "dst"), directed=True),
+        alpha=alpha,
+        tol=tol,
+        max_iter=max_iter,
+        init_ranks=prev,
+    )
+    res.state.withColumn("snap", F.lit(snap + 1)).write.mode("append").partitionBy(
+        "snap"
+    ).parquet(state_path)
+    if retain_snapshots is not None:
+        _expire_snapshots(spark, state_path, max(2, retain_snapshots))
+    return res.rounds
+
+
+def run_incremental_pagerank(
+    spark: SparkSession,
+    in_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    retain_snapshots: int | None = None,
+):
+    """Drain the landing directory; every micro-batch triggers one
+    warm-started re-convergence over the accumulated log. The batch
+    rows themselves only signal "the log grew" — the recompute reads
+    the landing dir, so exactly-once per batch id still holds."""
+    q = (
+        edge_stream(spark, in_path)
+        .writeStream.foreachBatch(
+            lambda _df, _bid: refresh_pagerank_snapshot(
+                spark.read.parquet(in_path),
+                state_path,
+                alpha=alpha,
+                tol=tol,
+                retain_snapshots=retain_snapshots,
             )
         )
         .option("checkpointLocation", checkpoint_path)

@@ -240,3 +240,62 @@ def test_run_stream_cli_incremental_wcc_and_snapshot(spark, tmp_path):
     assert rs.main(["snapshot", "--state", state, "--output", out]) == 0
     got = {(r["id"], r["comp"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 1), (2, 1), (5, 5), (6, 5)}
+
+
+def test_incremental_pagerank_warm_start(spark, tmp_path):
+    """Warm-started refresh matches a cold batch pagerank within 1e-6
+    and converges in fewer supersteps once seeded."""
+    from linkgraph.algos.pagerank import pagerank
+    from linkgraph.datagen import skewed_graph
+    from linkgraph.graph import Graph
+    from linkgraph.streaming import pagerank_snapshot, refresh_pagerank_snapshot
+
+    state = str(tmp_path / "pr")
+    base = skewed_graph(spark, n_vertices=300, avg_degree=5, seed=7)
+
+    cold_rounds = refresh_pagerank_snapshot(base, state, tol=1e-8)
+
+    # grow the graph by a few edges; warm-started refresh over the
+    # full log should need fewer rounds than the cold run
+    grown = base.unionByName(
+        spark.createDataFrame([(1, 299), (299, 2), (5, 250)], "src long, dst long")
+    )
+    warm_rounds = refresh_pagerank_snapshot(grown, state, tol=1e-8, retain_snapshots=2)
+    assert warm_rounds < cold_rounds
+
+    got = {r["id"]: r["rank"] for r in pagerank_snapshot(spark, state).collect()}
+    want = {
+        r["id"]: r["rank"]
+        for r in pagerank(Graph.from_edges(grown, directed=True), tol=1e-8).state.collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) <= 1e-6 for v in want)
+
+
+def test_run_incremental_pagerank_stream(spark, tmp_path):
+    """The streaming drain maintains the rank snapshot exactly-once
+    per batch over a landing directory."""
+    from linkgraph.algos.pagerank import pagerank
+    from linkgraph.graph import Graph
+    from linkgraph.streaming import pagerank_snapshot, run_incremental_pagerank
+
+    inp = str(tmp_path / "in8")
+    state = str(tmp_path / "pr8")
+    ck = str(tmp_path / "ck8")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(s, d, 1.0, dt.datetime(2026, 1, 1)) for (s, d) in rows],
+            "src long, dst long, weight double, ts timestamp",
+        ).write.mode("append").parquet(inp)
+
+    write([(1, 2), (2, 3), (3, 1)])
+    run_incremental_pagerank(spark, inp, state, ck)
+    write([(3, 4), (4, 1)])
+    run_incremental_pagerank(spark, inp, state, ck)
+
+    full = Graph.from_edges(spark.read.parquet(inp).select("src", "dst"), directed=True)
+    want = {r["id"]: r["rank"] for r in pagerank(full).state.collect()}
+    got = {r["id"]: r["rank"] for r in pagerank_snapshot(spark, state).collect()}
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) <= 1e-6 for v in want)
