@@ -1858,6 +1858,8 @@ def _motif_census_sql() -> str:
 , recip6 AS MATERIALIZED (
     SELECT a.src, a.dst FROM de6 a JOIN de6 b ON b.src = a.dst AND b.dst = a.src
     WHERE a.src < a.dst)
+, recipo6 AS MATERIALIZED (
+    SELECT a.src, a.dst FROM de6 a JOIN de6 b ON b.src = a.dst AND b.dst = a.src)
 , corn6 AS MATERIALIZED (
     SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
     FROM s6o e1 JOIN s6o e2 ON e2.src = e1.dst
@@ -1888,6 +1890,8 @@ SELECT
      JOIN de6 b ON b.src = r.dst AND b.dst = a.dst) AS n_in_plus,
   (SELECT count(*) FROM recip6 r JOIN de6 a ON a.dst = r.src
      JOIN de6 b ON b.dst = r.dst AND b.src = a.src) AS n_out_plus,
+  (SELECT count(*) FROM recipo6 r JOIN de6 a ON a.dst = r.src
+     JOIN de6 b ON b.src = r.dst AND b.dst = a.src) AS n_cycle_plus,
   CAST(coalesce((SELECT sum(t.tri * (d.d - 2)) FROM tv6 t
      JOIN s6deg d ON d.id = t.id), 0) AS BIGINT) AS n_tailed,
   CAST((SELECT coalesce(sum((d1.d - 1) * (d2.d - 1)), 0) FROM s6e e

@@ -14,6 +14,10 @@ analytical_engine/apps/flash/subgraph/:
                                with s->x and d->x
   * out-triangle.h:41-80       "out+": # of (reciprocal pair {s,d}, x)
                                with x->s and x->d
+  * cycle-plus-triangle.h:42-78  "cycle+": # of (ordered reciprocal
+                               pair (s,d), x) with d->x and x->s —
+                               a directed 3-cycle closed through the
+                               reciprocal edge
   * tailed-triangle.h:41-80    # of (undirected triangle, pendant
                                edge at a corner) = Σ_tri Σ_corners
                                (deg(corner) - 2); the reference sums
@@ -109,7 +113,7 @@ def motif_census(graph: Graph) -> DataFrame:
     """Directed triangle census + undirected small-motif counts as ONE
     single-row frame with columns
 
-      trans, cyclic, in_plus, out_plus   (directed, see module doc)
+      trans, cyclic, in_plus, out_plus, cycle_plus  (directed)
       tailed, paths3, rectangles, diamonds  (on the underlying
                                              undirected simple graph)
 
@@ -166,6 +170,24 @@ def motif_census(graph: Graph) -> DataFrame:
             "left_semi",
         )
         .agg(F.count("*").alias("n_out_plus"))
+    )
+
+    # cycle+: ordered reciprocal pair (s, d) (both s->d and d->s)
+    # plus a directed 2-path d->x->s — a 3-cycle through x closed by
+    # the reciprocal edge (cycle-plus-triangle.h:42-78: per directed
+    # edge s->d with d ∈ in(s), count |in(s) ∩ out(d)|; x = s, d are
+    # excluded automatically on a self-loop-free simple digraph)
+    recip_ord = d.join(rev, ["src", "dst"], "left_semi")
+    cyc_plus = (
+        recip_ord.join(
+            d.select(F.col("dst").alias("src"), F.col("src").alias("x")), "src"
+        )
+        .join(
+            d.select(F.col("src").alias("dst"), F.col("dst").alias("x")),
+            ["dst", "x"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_cycle_plus"))
     )
 
     # --- undirected counts ------------------------------------------------
@@ -236,6 +258,7 @@ def motif_census(graph: Graph) -> DataFrame:
         trans.crossJoin(cyc)
         .crossJoin(in_plus)
         .crossJoin(out_plus)
+        .crossJoin(cyc_plus)
         .crossJoin(tailed)
         .crossJoin(paths3)
         .crossJoin(rect)

@@ -129,6 +129,13 @@ def test_motif_census_brute(spark):
         for x in verts
         if x not in (s, t) and (x, s) in dset and (x, t) in dset
     )
+    cycle_plus = sum(
+        1
+        for (s, t) in d
+        if (t, s) in dset
+        for x in verts
+        if x not in (s, t) and (x, s) in dset and (t, x) in dset
+    )
     tris = [
         vs for vs in combinations(verts, 3)
         if all((min(a, b), max(a, b)) in und for a, b in combinations(vs, 2))
@@ -152,6 +159,7 @@ def test_motif_census_brute(spark):
     assert row["n_cyclic"] == cyc
     assert row["n_in_plus"] == in_plus
     assert row["n_out_plus"] == out_plus
+    assert row["n_cycle_plus"] == cycle_plus
     assert row["n_tailed"] == tailed
     assert row["n_paths3"] == paths3
     assert row["n_rect"] == rect
