@@ -201,7 +201,11 @@ def motif_census(graph: Graph) -> DataFrame:
     )
     tailed = (
         tri_v.join(deg, "id")
-        .agg(F.sum(F.col("tri") * (F.col("degree") - 2)).cast("long").alias("n_tailed"))
+        .agg(
+            F.coalesce(F.sum(F.col("tri") * (F.col("degree") - 2)), F.lit(0))
+            .cast("long")
+            .alias("n_tailed")
+        )
     )
     # 3-paths: Σ_edges (deg(s)-1)(deg(d)-1) - 3·T (common-neighbour
     # sum over edges = 3 · total triangles)
@@ -209,7 +213,11 @@ def motif_census(graph: Graph) -> DataFrame:
     psum = (
         upairs.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("ds")), "src")
         .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("dd")), "dst")
-        .agg(F.sum((F.col("ds") - 1) * (F.col("dd") - 1)).cast("long").alias("p"))
+        .agg(
+            F.coalesce(F.sum((F.col("ds") - 1) * (F.col("dd") - 1)), F.lit(0))
+            .cast("long")
+            .alias("p")
+        )
     )
     paths3 = psum.crossJoin(tri_total).select(
         (F.col("p") - 3 * F.col("t")).cast("long").alias("n_paths3")
@@ -233,7 +241,9 @@ def motif_census(graph: Graph) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     rect = wedges.agg(
-        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_rect")
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_rect")
     )
     # diamonds: per undirected edge, C(#triangles through it, 2)
     tri_e = (
@@ -251,7 +261,9 @@ def motif_census(graph: Graph) -> DataFrame:
         .agg(F.count("*").alias("t"))
     )
     diamonds = tri_e.agg(
-        F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n_diamond")
+        F.coalesce(F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_diamond")
     )
 
     out = (

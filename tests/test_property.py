@@ -226,6 +226,177 @@ def test_triangles_match_numpy(spark, edges):
     assert got == want
 
 
+def _cores_py(edges):
+    """Classic min-degree-peel core numbers on the undirected simple graph."""
+    verts = {v for e in edges for v in e}
+    adj = _sym_simple(edges)
+    deg = {v: len(adj.get(v, set())) for v in verts}
+    core, remaining, k = {}, set(verts), 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in adj.get(v, set()):
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+@given(edges=edge_lists)
+@SET
+def test_motif_census_matches_enumeration(spark, edges):
+    from linkgraph.algos.subgraph import motif_census
+    from linkgraph.graph import Graph
+    from itertools import combinations
+
+    dset = {(s, d) for s, d in edges if s != d}
+    und = {(min(a, b), max(a, b)) for a, b in dset}
+    adj = _sym_simple(edges)
+    verts = sorted({v for e in dset for v in e})
+    recip = {(a, b) for (a, b) in dset if (b, a) in dset and a < b}
+    trip = [
+        (a, b, c)
+        for a in verts for b in verts for c in verts
+        if a != b and b != c and a != c
+    ]
+    want = {
+        "n_trans": sum(
+            1 for (a, b, c) in trip
+            if (a, b) in dset and (b, c) in dset and (a, c) in dset
+        ),
+        "n_cyclic": sum(
+            1 for (a, b, c) in trip
+            if (a, b) in dset and (b, c) in dset and (c, a) in dset
+        ) // 3,
+        "n_in_plus": sum(
+            1 for (s, t) in recip for x in verts
+            if x not in (s, t) and (s, x) in dset and (t, x) in dset
+        ),
+        "n_out_plus": sum(
+            1 for (s, t) in recip for x in verts
+            if x not in (s, t) and (x, s) in dset and (x, t) in dset
+        ),
+        "n_cycle_plus": sum(
+            1 for (s, t) in dset if (t, s) in dset
+            for x in verts
+            if x not in (s, t) and (x, s) in dset and (t, x) in dset
+        ),
+    }
+    tris = [
+        vs for vs in combinations(verts, 3)
+        if all((min(a, b), max(a, b)) in und for a, b in combinations(vs, 2))
+    ]
+    want["n_tailed"] = sum(len(adj[v]) - 2 for t in tris for v in t)
+    want["n_paths3"] = sum(
+        (len(adj[a]) - 1) * (len(adj[b]) - 1) - len(adj[a] & adj[b])
+        for (a, b) in und
+    )
+    want["n_rect"] = (
+        sum(
+            len(adj.get(a, set()) & adj.get(b, set()))
+            * (len(adj.get(a, set()) & adj.get(b, set())) - 1) // 2
+            for a, b in combinations(verts, 2)
+        ) // 2
+    )
+    want["n_diamond"] = sum(
+        len(adj[a] & adj[b]) * (len(adj[a] & adj[b]) - 1) // 2 for (a, b) in und
+    )
+    row = motif_census(Graph.from_edges(_df(spark, edges), directed=True)).collect()[0]
+    got = row.asDict()
+    assert got == want
+
+
+@given(edges=edge_lists)
+@SET
+def test_kclique_counts_match_enumeration(spark, edges):
+    from linkgraph.algos.subgraph import kclique_counts
+    from linkgraph.graph import Graph
+    from itertools import combinations
+
+    adj = _sym_simple(edges)
+    verts = sorted({v for (s, d) in edges for v in (s, d) if s != d})
+    row = kclique_counts(
+        Graph.from_edges(_df(spark, edges), directed=False), ks=(3, 4)
+    ).collect()[0]
+    for k in (3, 4):
+        want = sum(
+            1 for vs in combinations(verts, k)
+            if all(b in adj.get(a, set()) for a, b in combinations(vs, 2))
+        )
+        assert row[f"n_{k}"] == want, (k, row[f"n_{k}"], want)
+
+
+@given(edges=edge_lists)
+@SET
+def test_degeneracy_and_onion_match_python_peel(spark, edges):
+    from linkgraph.algos.ordering import degeneracy_ordering, onion_layers
+    from linkgraph.graph import Graph
+
+    verts = {v for e in edges for v in e}
+    adj = _sym_simple(edges)
+    core = _cores_py(edges)
+    dg = max(core.values(), default=0)
+
+    deg = {v: len(adj.get(v, set())) for v in verts}
+    remaining, rank, r = set(verts), {}, 0
+    while remaining:
+        rem = {v for v in remaining if deg[v] <= dg}
+        for v in rem:
+            rank[v] = r
+        remaining -= rem
+        for v in rem:
+            for u in adj.get(v, set()):
+                if u in remaining:
+                    deg[u] -= 1
+        r += 1
+
+    d = {
+        v: sum(1 for u in adj.get(v, set()) if core[u] >= core[v])
+        for v in verts
+    }
+    remaining, layer, r = set(verts), {}, 0
+    while remaining:
+        rem = {v for v in remaining if d[v] <= core[v]}
+        if not rem:
+            break
+        for v in rem:
+            layer[v] = r
+        remaining -= rem
+        for v in rem:
+            for u in adj.get(v, set()):
+                if u in remaining and core[u] == core[v]:
+                    d[u] -= 1
+        r += 1
+
+    g = Graph.from_edges(_df(spark, edges), directed=False)
+    res_d = degeneracy_ordering(g)
+    assert res_d.converged
+    assert {(x["id"], x["rank"]) for x in res_d.state.collect()} == set(rank.items())
+    res_o = onion_layers(g)
+    assert res_o.converged
+    assert {(x["id"], x["layer"]) for x in res_o.state.collect()} == set(layer.items())
+
+
+@given(edges=edge_lists)
+@SET
+def test_min_vertex_cover_is_valid_and_irredundant(spark, edges):
+    from linkgraph.algos.matching import min_vertex_cover
+    from linkgraph.graph import Graph
+
+    res = min_vertex_cover(Graph.from_edges(_df(spark, edges), directed=False))
+    assert res.converged
+    cover = {r["id"] for r in res.state.where("in_cover").collect()}
+    adj = _sym_simple(edges)
+    # covers every simple undirected edge
+    for v, nbrs in adj.items():
+        for u in nbrs:
+            assert v in cover or u in cover, (v, u)
+    # minimal: no cover vertex is redundant (each has a non-cover neighbor)
+    for v in cover:
+        assert adj.get(v, set()) - cover, f"{v} is redundant"
+
+
 @given(edges=edge_lists)
 @SET
 def test_kshell_matches_sequential_peel(spark, edges):
