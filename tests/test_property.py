@@ -397,6 +397,56 @@ def test_min_vertex_cover_is_valid_and_irredundant(spark, edges):
         assert adj.get(v, set()) - cover, f"{v} is redundant"
 
 
+@given(edges=edge_lists, n_comm=st.integers(min_value=1, max_value=4))
+@SET
+def test_fluid_community_matches_synchronous_replay(spark, edges, n_comm):
+    """Exact replay of the documented deterministic synchronous
+    variant: seeds = n smallest ids, per-round frozen counts,
+    count-then-divide densities, strict +eps improvement, min-label
+    ties, fixed round budget."""
+    from linkgraph.algos.coloring import fluid_community
+    from linkgraph.graph import Graph
+
+    eps, max_round = 1e-10, 6
+    adj = _sym_simple(edges)
+    verts = sorted({v for e in edges for v in e})
+    lab = {v: -1 for v in verts}
+    for s in verts[:n_comm]:
+        lab[s] = s
+    for _ in range(max_round):
+        cnt = {}
+        for v in verts:
+            if lab[v] >= 0:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+        new = {}
+        for v in verts:
+            c = {}
+            for u in list(adj.get(v, set())) + [v]:
+                if lab[u] >= 0:
+                    c[lab[u]] = c.get(lab[u], 0) + 1
+            dens = {i: c[i] / cnt[i] for i in c}
+            if dens:
+                bd = max(dens.values())
+                blab = min(i for i in dens if dens[i] == bd)
+            else:
+                bd, blab = None, None
+            if lab[v] == -1:
+                new[v] = blab if (bd is not None and bd > eps) else -1
+            else:
+                cd = dens.get(lab[v], 0.0)
+                new[v] = (
+                    blab if (bd is not None and bd > cd + eps) else lab[v]
+                )
+        lab = new
+    res = fluid_community(
+        Graph.from_edges(_df(spark, edges), directed=False),
+        n_communities=n_comm,
+        max_round=max_round,
+    )
+    got = {(r["id"], r["lab"]) for r in res.state.collect()}
+    assert got == set(lab.items())
+
+
 @given(edges=edge_lists)
 @SET
 def test_kshell_matches_sequential_peel(spark, edges):
