@@ -127,8 +127,17 @@ def _q_pagerank(spark, sf_dir):
 
 
 def _q_wcc(spark, sf_dir):
-    res = wcc(part_graph(spark, sf_dir))
-    return res.state.select("id", "comp")
+    """One gate, BOTH engines: the join-mode delta-frontier WCC and the
+    min-combining CSR-block Arrow kernel (linkgraph/csr.py:wcc_csr) as
+    columns (comp, comp_csr) against a single recursive-CTE oracle."""
+    from linkgraph.csr import wcc_csr
+
+    g = part_graph(spark, sf_dir)
+    res = wcc(g)
+    res_csr = wcc_csr(g)
+    return res.state.select("id", "comp").join(
+        res_csr.state.select("id", F.col("comp").alias("comp_csr")), "id"
+    )
 
 
 def _q_cdlp(spark, sf_dir):
@@ -2481,7 +2490,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT id, id FROM verts
     UNION
     SELECT s.dst, l.comp FROM lab l JOIN sym s ON s.src = l.id WHERE l.comp < s.dst)
-SELECT id, min(comp) AS comp FROM lab GROUP BY id"""
+SELECT id, min(comp) AS comp, min(comp) AS comp_csr FROM lab GROUP BY id"""
     )
     sql["cdlp"] = _cdlp_sql()
     sql["triangles"] = (

@@ -12,16 +12,19 @@ apps/pagerank/pagerank_networkx.h:65,108). The Spark re-expression:
     again (the reference's "mirrors stay put" design).
   * each superstep joins the co-partitioned vertex state onto the
     blocks (no edge shuffle — both sides share the src partitioning)
-    and runs an Arrow-batched `mapInPandas` kernel that does the
-    scatter in numpy: repeat each source's message over its out-list,
-    concatenate the neighbor arrays, and PRE-COMBINE per destination
-    inside the partition (np/pandas groupby-sum) before the single
-    (dst → contribution) shuffle. That pre-combine is the map-side
-    message combining of the reference's SyncStateOnOuterVertex
-    strategies (key_concepts.rst:127-143).
+    and runs a `mapInArrow` kernel that does the scatter on the raw
+    Arrow buffers: the neighbor lists' contiguous values buffer is a
+    zero-copy flatten, each source's message is np.repeat-ed over its
+    out-list lengths (from the list offsets), and the result is
+    PRE-COMBINED per destination inside the partition (Arrow C++ hash
+    aggregation, sum or min) before the single (dst → contribution)
+    shuffle. That pre-combine is the map-side message combining of the
+    reference's SyncStateOnOuterVertex strategies
+    (key_concepts.rst:127-143).
 
 No per-row Python anywhere: the kernel touches whole Arrow batches and
-every operation inside is a numpy/pandas vectorized call.
+every operation inside is a numpy/Arrow vectorized call. pagerank_csr
+and wcc_csr are the flagship instances (sum- and min-combine).
 """
 
 from __future__ import annotations
@@ -85,7 +88,71 @@ def _scatter_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out.groupby("dst", sort=False, as_index=False)["c"].sum()
 
 
+def make_scatter_kernel(op: str = "sum"):
+    """Gather-scatter on raw Arrow RecordBatches (mapInArrow), with the
+    map-side combine ``op`` ('sum' for rank mass, 'min' for label
+    propagation — the reference's message-combine strategies,
+    key_concepts.rst:127-143).
+
+    The pandas kernel pays two conversions the math never needed: the
+    list column materializes as an object ndarray of per-row ndarrays
+    (one Python object + allocation per source), and np.concatenate
+    re-copies them into one buffer. Arrow already stores the neighbor
+    lists as ONE contiguous values buffer + offsets — ``flatten()`` is
+    a zero-copy view, per-row lengths come from the offsets, and the
+    combine runs in Arrow's C++ hash aggregation. Input rows
+    (nbrs: list<int|long>, odeg: int, w: numeric); output (dst, c),
+    pre-combined per batch, both keeping their input types — an
+    int32-compacted graph sends 4-byte keys through the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            nbrs = cols["nbrs"]
+            counts = pc.list_value_length(nbrs).to_numpy().astype(np.int64, copy=False)
+            dst = nbrs.flatten().to_numpy(zero_copy_only=False)
+            w = np.repeat(cols["w"].to_numpy(zero_copy_only=False), counts)
+            t = pa.table({"dst": dst, "c": w})
+            # map-side combine: C++ hash agg, single-threaded (one
+            # Python worker per core already — threads would
+            # oversubscribe)
+            agg = t.group_by("dst", use_threads=False).aggregate([("c", op)])
+            out = pa.table({"dst": agg.column("dst"), "c": agg.column(f"c_{op}")})
+            yield from out.to_batches()
+
+    return kernel
+
+
+_scatter_kernel_arrow = make_scatter_kernel("sum")
+
+
 HUB_SPLIT_DEGREE = 65_536
+
+
+def _split_adjacency(edges: DataFrame, P: int, hub_degree: int):
+    """Build the two-frame CSR block layout shared by every kernel
+    algorithm: tail sources hash-partitioned by src (never move again),
+    hub sources (out-degree ≥ hub_degree) spread round-robin with their
+    per-superstep messages broadcast — see pagerank_csr's docstring for
+    the measured rationale. Returns (adj, hub_adj, hub_ids,
+    n_hub_blocks, src_totals); caller unpersists."""
+    src_totals = edges.groupBy("src").agg(F.count("*").alias("t")).persist()
+    hub_ids = src_totals.where(F.col("t") >= hub_degree).select("src")
+    if hub_ids.count():
+        tail_edges = edges.join(F.broadcast(hub_ids), "src", "left_anti")
+        hub_edges = edges.join(F.broadcast(hub_ids), "src", "left_semi")
+        hub_adj = adjacency_blocks(hub_edges, P).repartition(P).persist()
+        n_hub_blocks = hub_adj.count()
+    else:
+        tail_edges = edges
+        hub_adj = None
+        n_hub_blocks = 0
+    adj = adjacency_blocks(tail_edges, P).persist()
+    return adj, hub_adj, hub_ids, n_hub_blocks, src_totals
 
 
 def pagerank_csr(
@@ -117,19 +184,9 @@ def pagerank_csr(
     edges = graph.edges.select("src", "dst") if graph.directed else (
         graph.to_undirected(dedup=True).edges.select("src", "dst")
     )
-    src_totals = edges.groupBy("src").agg(F.count("*").alias("t")).persist()
-    hub_ids = src_totals.where(F.col("t") >= hub_degree).select("src")
-    n_hubs = hub_ids.count()
-    if n_hubs:
-        tail_edges = edges.join(F.broadcast(hub_ids), "src", "left_anti")
-        hub_edges = edges.join(F.broadcast(hub_ids), "src", "left_semi")
-        hub_adj = adjacency_blocks(hub_edges, P).repartition(P).persist()
-        n_hub_blocks = hub_adj.count()
-    else:
-        tail_edges = edges
-        hub_adj = None
-        n_hub_blocks = 0
-    adj = adjacency_blocks(tail_edges, P).persist()
+    adj, hub_adj, hub_ids, n_hub_blocks, src_totals = _split_adjacency(
+        edges, P, hub_degree
+    )
     n_edges = src_totals.agg(F.sum("t")).collect()[0][0] or 0
 
     verts = graph.deduced_vertices()
@@ -150,6 +207,11 @@ def pagerank_csr(
     dangling_cell: dict[str, float | None] = {"mass": None}
     base = (1.0 - alpha) / n
 
+    # the kernel emits dst in the neighbor lists' own type — declare the
+    # output schema to match (int for a compacted graph, long otherwise)
+    dst_sql_type = dict(edges.dtypes)["dst"]
+    scatter_schema = f"dst {dst_sql_type}, c double"
+
     def step(state: DataFrame, round_: int):
         state = state.drop("prev_rank")
         if dangling_cell["mass"] is None:
@@ -164,8 +226,8 @@ def pagerank_csr(
         msgs_in = state.where(F.col("deg") > 0).select(
             F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
         )
-        partials = adj.join(msgs_in.hint("SHUFFLE_HASH"), "src").select("nbrs", "odeg", "w").mapInPandas(
-            _scatter_kernel, schema="dst long, c double"
+        partials = adj.join(msgs_in.hint("SHUFFLE_HASH"), "src").select("nbrs", "odeg", "w").mapInArrow(
+            _scatter_kernel_arrow, schema=scatter_schema
         )
         if n_hub_blocks:
             # hub sources: their messages are a tiny frame (one row per
@@ -175,7 +237,7 @@ def pagerank_csr(
             hub_partials = (
                 hub_adj.join(F.broadcast(hub_msgs), "src")
                 .select("nbrs", "odeg", "w")
-                .mapInPandas(_scatter_kernel, schema="dst long, c double")
+                .mapInArrow(_scatter_kernel_arrow, schema=scatter_schema)
             )
             partials = partials.unionByName(hub_partials)
         contribs = partials.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("msg"))
@@ -215,6 +277,109 @@ def pagerank_csr(
 
     result = eng.run(init, step, max_rounds=max_iter)
     result.state = result.state.select("id", "rank")
+    adj.unpersist()
+    src_totals.unpersist()
+    if hub_adj is not None:
+        hub_adj.unpersist()
+    return result
+
+
+def wcc_csr(
+    graph: Graph,
+    engine: SuperstepEngine | None = None,
+    max_iter: int = 1000,
+    num_partitions: int | None = None,
+    hub_degree: int = HUB_SPLIT_DEGREE,
+) -> SuperstepResult:
+    """Weakly connected components with identical semantics to
+    linkgraph.algos.wcc (wcc_projected.h:70-182 — min-label
+    propagation, delta frontier, exact fixpoint) on the CSR-block
+    scatter path: the symmetrized edge set becomes persisted adjacency
+    blocks that never move again, and each superstep ships only the
+    CHANGED vertices' labels into the min-combining Arrow kernel. The
+    frontier filter makes every round sparse by construction — the
+    join-path dense/sparse switch collapses to one plan."""
+    spark = graph.edges.sparkSession
+    eng = engine or SuperstepEngine(spark)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = (
+        graph.symmetrized_edges()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    adj, hub_adj, hub_ids, n_hub_blocks, src_totals = _split_adjacency(
+        edges, P, hub_degree
+    )
+    n_edges = src_totals.agg(F.sum("t")).collect()[0][0] or 0
+
+    verts = graph.deduced_vertices()
+    n = verts.count()
+    if n == 0:
+        src_totals.unpersist()
+        adj.unpersist()
+        return SuperstepResult(
+            state=verts.select("id", F.col("id").alias("comp")),
+            rounds=0,
+            converged=True,
+        )
+
+    init = verts.select(
+        "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+    ).repartition(P, "id")
+    # labels are vertex ids: the kernel output keeps the id type, so an
+    # int32-compacted graph ships 4-byte keys AND 4-byte labels
+    id_t = dict(edges.dtypes)["dst"]
+    scatter_schema = f"dst {id_t}, c {id_t}"
+    kernel = make_scatter_kernel("min")
+
+    def step(state: DataFrame, round_: int):
+        msgs_in = state.where(F.col("changed")).select(
+            F.col("id").alias("src"), F.col("comp").alias("w")
+        )
+        partials = (
+            adj.join(msgs_in.hint("SHUFFLE_HASH"), "src")
+            .select("nbrs", "odeg", "w")
+            .mapInArrow(kernel, schema=scatter_schema)
+        )
+        if n_hub_blocks:
+            hub_msgs = msgs_in.join(F.broadcast(hub_ids), "src", "left_semi")
+            hub_partials = (
+                hub_adj.join(F.broadcast(hub_msgs), "src")
+                .select("nbrs", "odeg", "w")
+                .mapInArrow(kernel, schema=scatter_schema)
+            )
+            partials = partials.unionByName(hub_partials)
+        cand = partials.groupBy(F.col("dst").alias("id")).agg(
+            F.min("c").alias("cand")
+        )
+        new_state = state_join(state, cand).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))).alias(
+                "comp"
+            ),
+            (F.coalesce(F.col("cand"), F.col("comp")) < F.col("comp")).alias(
+                "changed"
+            ),
+        )
+
+        def to_metrics(agg: dict) -> dict:
+            changed = int(agg["c"] or 0)
+            return {
+                "halt": changed == 0,
+                "frontier": changed,
+                "mode": "csr",
+                "edges_processed": n_edges,
+            }
+
+        return new_state, Observed(
+            exprs=[F.sum(F.col("changed").cast("long")).alias("c")],
+            to_metrics=to_metrics,
+        )
+
+    result = eng.run(init, step, max_rounds=max_iter)
+    result.state = result.state.select("id", "comp")
     adj.unpersist()
     src_totals.unpersist()
     if hub_adj is not None:
