@@ -141,8 +141,18 @@ def _q_wcc(spark, sf_dir):
 
 
 def _q_cdlp(spark, sf_dir):
-    res = cdlp(part_graph(spark, sf_dir), max_round=CDLP_ROUNDS)
-    return res.state.select("id", "label")
+    """LDBC label propagation through BOTH engine paths — the two-agg
+    join plan (linkgraph/algos/cdlp.py) and the label-count CSR-block
+    Arrow kernel (linkgraph/csr.py:cdlp_csr) as columns
+    (label, label_csr) against one unrolled histogram oracle."""
+    from linkgraph.csr import cdlp_csr
+
+    g = part_graph(spark, sf_dir)
+    res = cdlp(g, max_round=CDLP_ROUNDS)
+    res_csr = cdlp_csr(g, max_round=CDLP_ROUNDS)
+    return res.state.select("id", "label").join(
+        res_csr.state.select("id", F.col("label").alias("label_csr")), "id"
+    )
 
 
 def _q_triangles(spark, sf_dir):
@@ -217,9 +227,12 @@ def _q_sssp(spark, sf_dir):
     co-occurrence graph — TWO engine paths in one gate: the frontier
     relaxation (sssp(), column dist_bf) and the deterministic
     predecessor-tracking tree (sssp_path(), columns pred/dist,
-    apps/sssp/sssp_path.h semantics); the oracle emits the same
-    distance through both recurrences."""
+    apps/sssp/sssp_path.h semantics) — plus the min-plus CSR-block
+    Arrow kernel (linkgraph/csr.py:sssp_csr) as a third column
+    dist_csr; the oracle emits the same distance through both
+    recurrences."""
     from linkgraph.algos.paths import sssp_path
+    from linkgraph.csr import sssp_csr
 
     edges = part_edges(spark, sf_dir)
     g = Graph.from_edges(edges, directed=False, weight_col="weight")
@@ -228,8 +241,12 @@ def _q_sssp(spark, sf_dir):
     _assert_unroll(res, BFS_LAYERS, "sssp")
     resp = sssp_path(g, source=source, weight_col="weight", directed=False)
     _assert_unroll(resp, BFS_LAYERS, "sssp_path")
-    return resp.state.select("id", "pred", F.round("dist", 8).alias("dist")).join(
-        res.state.select("id", F.round("dist", 8).alias("dist_bf")), "id"
+    resc = sssp_csr(g, source=source, weight_col="weight", directed=False)
+    _assert_unroll(resc, BFS_LAYERS, "sssp_csr")
+    return (
+        resp.state.select("id", "pred", F.round("dist", 8).alias("dist"))
+        .join(res.state.select("id", F.round("dist", 8).alias("dist_bf")), "id")
+        .join(resc.state.select("id", F.round("dist", 8).alias("dist_csr")), "id")
     )
 
 
@@ -876,9 +893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     drives every underlying engine code path) and every family —
     including the 13 training-data pipeline ops — sits inside the
     checked window. Functions folded into a sibling gate: pagerank_csr
-    → pagerank, lcc/triangle_count/transitivity/avg_clustering →
-    triangles/triangle_stats, bfs_tree → bfs, sssp_path → sssp, kcore
-    → kshell, harmonic → closeness, sssp_avg_length_w →
+    → pagerank, wcc_csr → wcc, cdlp_csr → cdlp, lcc/triangle_count/
+    transitivity/avg_clustering → triangles/triangle_stats, bfs_tree
+    → bfs, sssp_path/sssp_csr → sssp, kcore → kshell, harmonic → closeness, sssp_avg_length_w →
     sssp_avg_length, louvain ⊂ louvain_full, mis/maximal_matching/
     min_dominating_set → matching_family, degree/attr assortativity →
     assortativity, node/edge boundary → boundary, is_simple_path/
@@ -1008,7 +1025,7 @@ def _cdlp_sql(rounds: int = CDLP_ROUNDS) -> str:
   SELECT l.id, coalesce(b.new_label, l.label) AS label
   FROM l{p} l LEFT JOIN b{k} b ON b.id = l.id)"""
         )
-    parts.append(f"SELECT id, label FROM l{rounds}")
+    parts.append(f"SELECT id, label, label AS label_csr FROM l{rounds}")
     return "\n".join(parts)
 
 
@@ -1104,7 +1121,8 @@ def _sssp_sql(layers: int = BFS_LAYERS) -> str:
   FROM t{p} t LEFT JOIN c{kk} c ON c.id = t.id)"""
         )
     parts.append(
-        f"""SELECT t.id, t.pred, round(t.d, 8) AS dist, round(s.d, 8) AS dist_bf
+        f"""SELECT t.id, t.pred, round(t.d, 8) AS dist, round(s.d, 8) AS dist_bf,
+    round(s.d, 8) AS dist_csr
 FROM t{layers} t JOIN s{layers} s ON s.id = t.id WHERE t.d < {big} / 2"""
     )
     return "\n".join(parts)

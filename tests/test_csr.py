@@ -115,3 +115,101 @@ def test_scatter_kernel_min_combine():
             rows[k] = min(v, rows.get(k, v))
         assert b.schema.field("dst").type == pa.int32()
     assert rows == {2: 10, 3: 7}
+
+
+def test_sssp_csr_matches_join_path(spark):
+    """sssp_csr (min-plus kernel over weighted adjacency blocks) must
+    match algos.sssp exactly: weighted undirected graph with parallel
+    edges (lightest wins), a self-loop, an unreached island (-1.0) and
+    sparse arbitrary ids."""
+    from linkgraph.algos.traversal import sssp
+    from linkgraph.csr import sssp_csr
+
+    edges = [
+        (100, 2, 1.0),
+        (100, 2, 5.0),  # parallel edge: the lighter one must win
+        (2, 300, 2.5),
+        (300, 7, 0.5),
+        (7, 100, 10.0),
+        (42, 42, 3.0),  # self-loop: dropped
+        (1000000, 5, 1.0),  # island, unreached from source
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    g = Graph.from_edges(e, directed=False, weight_col="w")
+    a = {r["id"]: r["dist"] for r in sssp(g, source=2, weight_col="w").state.collect()}
+    res = sssp_csr(g, source=2, weight_col="w")
+    b = {r["id"]: r["dist"] for r in res.state.collect()}
+    assert a == b
+    assert b[2] == 0.0 and b[100] == 1.0 and b[300] == 2.5 and b[7] == 3.0
+    assert b[1000000] == -1.0 and b[5] == -1.0
+    assert res.converged
+    assert all(m.get("mode") == "csr" for m in res.metrics)
+
+
+def test_sssp_csr_directed_unit_weights(spark):
+    """Directed graph, no weight column → unit weights (BFS distances);
+    back-edges must not relax."""
+    from linkgraph.csr import sssp_csr
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long")
+    g = Graph.from_edges(e, directed=True)
+    got = {r["id"]: r["dist"] for r in sssp_csr(g, source=1).state.collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: -1.0}
+
+
+def test_sssp_csr_hub_split_path(spark):
+    """A weighted hub above the split threshold: broadcast hub blocks
+    must relax identically to the join path."""
+    from linkgraph.algos.traversal import sssp
+    from linkgraph.csr import sssp_csr
+
+    he = [(0, i, float(i % 7) + 0.5) for i in range(1, 200)] + [(3, 500, 1.0)]
+    e = spark.createDataFrame(he, "src long, dst long, w double")
+    g = Graph.from_edges(e, directed=True, weight_col="w")
+    a = {r["id"]: r["dist"] for r in sssp(g, source=0, weight_col="w").state.collect()}
+    b = {
+        r["id"]: r["dist"]
+        for r in sssp_csr(g, source=0, weight_col="w", hub_degree=50).state.collect()
+    }
+    assert a == b
+
+
+def test_cdlp_csr_matches_join_path(spark):
+    """cdlp_csr (label-count kernel) must reproduce algos.cdlp exactly:
+    same most-frequent/min-tie labels on a two-community graph with
+    sparse ids, a self-loop and an isolated vertex."""
+    from linkgraph.algos.cdlp import cdlp
+    from linkgraph.csr import cdlp_csr
+
+    edges = [
+        (10, 20), (20, 30), (10, 30),          # triangle community
+        (100, 200), (200, 300), (100, 300),    # second triangle
+        (30, 100),                              # weak bridge
+        (7, 7),                                 # self-loop: ignored
+        (555, 556),                              # pendant pair
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e, directed=True)
+    for rounds in (1, 3, 10):
+        a = {r["id"]: r["label"] for r in cdlp(g, max_round=rounds).state.collect()}
+        res = cdlp_csr(g, max_round=rounds)
+        b = {r["id"]: r["label"] for r in res.state.collect()}
+        assert a == b, f"rounds={rounds}"
+    assert all(m.get("mode") == "csr" for m in res.metrics)
+
+
+def test_cdlp_csr_hub_split_path(spark):
+    """Star hub above the split threshold: broadcast hub blocks must
+    produce the identical label fixpoint."""
+    from linkgraph.algos.cdlp import cdlp
+    from linkgraph.csr import cdlp_csr
+
+    he = [(0, i) for i in range(1, 120)] + [(1, 2), (2, 3)]
+    e = spark.createDataFrame(he, "src long, dst long")
+    g = Graph.from_edges(e, directed=False)
+    a = {r["id"]: r["label"] for r in cdlp(g, max_round=5).state.collect()}
+    b = {
+        r["id"]: r["label"]
+        for r in cdlp_csr(g, max_round=5, hub_degree=50).state.collect()
+    }
+    assert a == b
