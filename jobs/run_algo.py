@@ -91,8 +91,13 @@ def main(argv: list[str] | None = None) -> int:
                  engine=eng, num_partitions=args.partitions,
                  **({"resume": args.resume} if args.mode == "join" else {}))
     elif args.algo == "wcc":
-        from linkgraph.algos.wcc import wcc
-        res = wcc(g, engine=eng, num_partitions=args.partitions, resume=args.resume)
+        if args.mode == "csr":
+            from linkgraph.csr import wcc_csr
+            res = wcc_csr(g, engine=eng, num_partitions=args.partitions)
+        else:
+            from linkgraph.algos.wcc import wcc
+            res = wcc(g, engine=eng, num_partitions=args.partitions,
+                      resume=args.resume)
     elif args.algo == "cdlp":
         from linkgraph.algos.cdlp import cdlp
         # back-compat: cdlp historically took --max-iter; honor it when
@@ -103,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"run_algo: cdlp using --max-iter={args.max_iter} as rounds "
                   "(pass --max-round to silence)", file=sys.stderr)
             rounds = args.max_iter
+        if args.mode == "csr":
+            from linkgraph.csr import cdlp_csr as cdlp
         res = cdlp(g, max_round=rounds,
                    engine=eng, num_partitions=args.partitions)
     elif args.algo == "triangles":
@@ -117,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algos.traversal import bfs
         res = bfs(g, source=args.source, engine=eng, num_partitions=args.partitions)
     elif args.algo == "sssp":
-        from linkgraph.algos.traversal import sssp
+        if args.mode == "csr":
+            from linkgraph.csr import sssp_csr as sssp
+        else:
+            from linkgraph.algos.traversal import sssp
         res = sssp(g, source=args.source, weight_col=args.weight_col,
                    engine=eng, num_partitions=args.partitions)
     elif args.algo == "hits":
