@@ -459,3 +459,125 @@ def test_kshell_matches_sequential_peel(spark, edges):
     ids, core = oracle.core_numbers([s for s, _ in edges], [d for _, d in edges])
     want = set(zip(ids.tolist(), core.tolist()))
     assert got == want
+
+
+@given(edges=edge_lists)
+@SET
+def test_wcc_csr_matches_union_find(spark, edges):
+    """The min-combining CSR Arrow kernel must land on the same
+    min-member component labels as the pure-Python union-find on
+    arbitrary sparse-id graphs with self-loops and duplicates."""
+    from linkgraph.csr import wcc_csr
+    from linkgraph.graph import Graph
+
+    got = {
+        (r["id"], r["comp"])
+        for r in wcc_csr(
+            Graph.from_edges(_df(spark, edges), directed=True)
+        ).state.collect()
+    }
+    want = set(_union_find_components(edges).items())
+    assert got == want
+
+
+def _cdlp_replay(edges, rounds):
+    """Synchronous LDBC label propagation: most frequent neighbor
+    label, min-label ties, over the undirected simple graph."""
+    adj = _sym_simple(edges)
+    verts = {v for e in edges for v in e}
+    lab = {v: v for v in verts}
+    for _ in range(rounds):
+        new = {}
+        for v in verts:
+            nbrs = adj.get(v)
+            if not nbrs:
+                new[v] = lab[v]
+                continue
+            hist = {}
+            for u in nbrs:
+                hist[lab[u]] = hist.get(lab[u], 0) + 1
+            mx = max(hist.values())
+            new[v] = min(l for l, c in hist.items() if c == mx)
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+@given(edges=edge_lists, rounds=st.sampled_from([1, 3, 10]))
+@SET
+def test_cdlp_csr_matches_synchronous_replay(spark, edges, rounds):
+    from linkgraph.csr import cdlp_csr
+    from linkgraph.graph import Graph
+
+    got = {
+        r["id"]: r["label"]
+        for r in cdlp_csr(
+            Graph.from_edges(_df(spark, edges), directed=True), max_round=rounds
+        ).state.collect()
+    }
+    assert got == _cdlp_replay(edges, rounds)
+
+
+weighted_edge_lists = st.lists(
+    st.tuples(
+        st.sampled_from(IDS),
+        st.sampled_from(IDS),
+        st.sampled_from([0.5, 1.0, 1.5, 2.0, 7.25]),
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+def _dijkstra(edges, source, directed):
+    import heapq
+
+    adj = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, []).append((d, w))
+        if not directed:
+            adj.setdefault(d, []).append((s, w))
+    verts = {v for s, d, _ in edges for v in (s, d)}
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        dv, v = heapq.heappop(pq)
+        if dv > dist.get(v, float("inf")):
+            continue
+        for u, w in adj.get(v, ()):
+            nd = dv + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    return {v: dist.get(v, -1.0) for v in verts}
+
+
+@given(edges=weighted_edge_lists, directed=st.booleans())
+@SET
+def test_sssp_csr_matches_dijkstra(spark, edges, directed):
+    """The min-plus CSR kernel must reproduce Dijkstra distances on
+    arbitrary weighted graphs, both orientations, parallel edges and
+    unreached islands (-1.0)."""
+    from linkgraph.csr import sssp_csr
+    from linkgraph.graph import Graph
+
+    e = spark.createDataFrame(
+        [(int(s), int(d), float(w)) for (s, d, w) in edges],
+        "src long, dst long, w double",
+    )
+    source = min(v for s, d, _ in edges for v in (s, d))
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp_csr(
+            Graph.from_edges(e, directed=directed, weight_col="w"),
+            source=source,
+            weight_col="w",
+        ).state.collect()
+    }
+    want = _dijkstra(edges, source, directed)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
