@@ -89,11 +89,12 @@ def main(argv: list[str] | None = None) -> int:
             from linkgraph.algos.pagerank import pagerank as fn
         res = fn(g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
                  engine=eng, num_partitions=args.partitions,
-                 **({"resume": args.resume} if args.mode == "join" else {}))
+                 resume=args.resume)
     elif args.algo == "wcc":
         if args.mode == "csr":
             from linkgraph.csr import wcc_csr
-            res = wcc_csr(g, engine=eng, num_partitions=args.partitions)
+            res = wcc_csr(g, engine=eng, num_partitions=args.partitions,
+                          resume=args.resume)
         else:
             from linkgraph.algos.wcc import wcc
             res = wcc(g, engine=eng, num_partitions=args.partitions,
@@ -108,10 +109,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"run_algo: cdlp using --max-iter={args.max_iter} as rounds "
                   "(pass --max-round to silence)", file=sys.stderr)
             rounds = args.max_iter
+        kw = {}
         if args.mode == "csr":
             from linkgraph.csr import cdlp_csr as cdlp
+            kw = {"resume": args.resume}
         res = cdlp(g, max_round=rounds,
-                   engine=eng, num_partitions=args.partitions)
+                   engine=eng, num_partitions=args.partitions, **kw)
     elif args.algo == "triangles":
         from linkgraph.algos.triangles import triangles
         out = triangles(g)
@@ -126,10 +129,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "sssp":
         if args.mode == "csr":
             from linkgraph.csr import sssp_csr as sssp
+            kw = {"resume": args.resume}
         else:
             from linkgraph.algos.traversal import sssp
+            kw = {}
         res = sssp(g, source=args.source, weight_col=args.weight_col,
-                   engine=eng, num_partitions=args.partitions)
+                   engine=eng, num_partitions=args.partitions, **kw)
     elif args.algo == "hits":
         from linkgraph.algos.hits import hits
         res = hits(g, max_iter=args.max_iter, tol=args.tol, engine=eng,

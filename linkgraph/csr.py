@@ -211,6 +211,7 @@ def pagerank_csr(
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
     hub_degree: int = HUB_SPLIT_DEGREE,
+    resume: bool = False,
 ) -> SuperstepResult:
     """PageRank with identical semantics to linkgraph.algos.pagerank
     (pagerank_networkx.h:54-163 transcription) but with the CSR-block
@@ -323,7 +324,7 @@ def pagerank_csr(
             to_metrics=to_metrics,
         )
 
-    result = eng.run(init, step, max_rounds=max_iter)
+    result = eng.run(init, step, max_rounds=max_iter, resume=resume)
     result.state = result.state.select("id", "rank")
     adj.unpersist()
     src_totals.unpersist()
@@ -338,6 +339,7 @@ def wcc_csr(
     max_iter: int = 1000,
     num_partitions: int | None = None,
     hub_degree: int = HUB_SPLIT_DEGREE,
+    resume: bool = False,
 ) -> SuperstepResult:
     """Weakly connected components with identical semantics to
     linkgraph.algos.wcc (wcc_projected.h:70-182 — min-label
@@ -426,7 +428,7 @@ def wcc_csr(
             to_metrics=to_metrics,
         )
 
-    result = eng.run(init, step, max_rounds=max_iter)
+    result = eng.run(init, step, max_rounds=max_iter, resume=resume)
     result.state = result.state.select("id", "comp")
     adj.unpersist()
     src_totals.unpersist()
@@ -444,6 +446,7 @@ def sssp_csr(
     num_partitions: int | None = None,
     directed: bool | None = None,
     hub_degree: int = HUB_SPLIT_DEGREE,
+    resume: bool = False,
 ) -> SuperstepResult:
     """Single-source shortest paths with identical semantics to
     linkgraph.algos.traversal.sssp (grape SSSPOpt / nx sssp_projected,
@@ -538,7 +541,7 @@ def sssp_csr(
             to_metrics=to_metrics,
         )
 
-    result = eng.run(init, step, max_rounds=max_iter)
+    result = eng.run(init, step, max_rounds=max_iter, resume=resume)
     result.state = result.state.select(
         "id",
         F.when(F.col("dist") == F.lit(INF), F.lit(-1.0))
@@ -592,6 +595,7 @@ def cdlp_csr(
     engine: SuperstepEngine | None = None,
     num_partitions: int | None = None,
     hub_degree: int = HUB_SPLIT_DEGREE,
+    resume: bool = False,
 ) -> SuperstepResult:
     """CDLP with identical semantics to linkgraph.algos.cdlp (LDBC
     label propagation, python/graphscope/analytical/app/lpa.py:29-54 /
@@ -679,7 +683,7 @@ def cdlp_csr(
             to_metrics=to_metrics,
         )
 
-    result = eng.run(init, step, max_rounds=max_round)
+    result = eng.run(init, step, max_rounds=max_round, resume=resume)
     result.state = result.state.select("id", "label")
     adj.unpersist()
     src_totals.unpersist()

@@ -45,3 +45,52 @@ def test_pagerank_resume_matches_full_run(spark, small_graph, small_edges_np, tm
     pdf = res.state.toPandas().sort_values("id").reset_index(drop=True)
     assert (pdf["id"].to_numpy() == ids).all()
     assert np.allclose(pdf["rank"].to_numpy(), ranks, atol=1e-6)
+
+
+def test_pagerank_csr_resume_matches_full_run(spark, small_graph, small_edges_np, tmp_path):
+    """The CSR-kernel path resumes mid-iteration from a durable
+    checkpoint exactly like the join path (the restored state carries
+    prev_rank/deg columns; the step must tolerate both)."""
+    from linkgraph.csr import pagerank_csr
+
+    src, dst = small_edges_np
+    g = Graph.from_edges(small_graph, directed=True)
+    ckpt = str(tmp_path / "prcsr_ckpt")
+
+    eng1 = SuperstepEngine(spark, checkpoint_dir=ckpt, checkpoint_every=3,
+                           record_partition_lineage=True)
+    pagerank_csr(g, max_iter=6, tol=0.0, engine=eng1)
+    latest = eng1.latest_checkpoint()
+    assert latest is not None and latest[0] == 5
+
+    eng2 = SuperstepEngine(spark, checkpoint_dir=ckpt, checkpoint_every=3)
+    res = pagerank_csr(g, max_iter=100, tol=1e-6, engine=eng2, resume=True)
+    assert res.converged
+
+    ids, ranks = oracle.pagerank(src, dst, directed=True, alpha=0.85, max_iter=100, tol=1e-6)
+    pdf = res.state.toPandas().sort_values("id").reset_index(drop=True)
+    assert (pdf["id"].to_numpy() == ids).all()
+    assert np.allclose(pdf["rank"].to_numpy(), ranks, atol=1e-6)
+
+
+def test_sssp_csr_resume_matches_full_run(spark, tmp_path):
+    """Kill a weighted sssp_csr after 1 round, resume, and land on the
+    exact full-run distances (frontier state round-trips the durable
+    checkpoint)."""
+    from linkgraph.csr import sssp_csr
+
+    chain = [(i, i + 1, 1.5) for i in range(8)] + [(0, 5, 100.0)]
+    e = spark.createDataFrame(chain, "src long, dst long, w double")
+    g = Graph.from_edges(e, directed=True, weight_col="w")
+    ckpt = str(tmp_path / "ssspcsr_ckpt")
+
+    eng1 = SuperstepEngine(spark, checkpoint_dir=ckpt, checkpoint_every=1)
+    sssp_csr(g, source=0, weight_col="w", max_iter=2, engine=eng1)
+    assert eng1.latest_checkpoint() is not None
+
+    eng2 = SuperstepEngine(spark, checkpoint_dir=ckpt, checkpoint_every=1)
+    res = sssp_csr(g, source=0, weight_col="w", engine=eng2, resume=True)
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    want = {r["id"]: r["dist"] for r in sssp_csr(g, source=0, weight_col="w").state.collect()}
+    assert got == want
+    assert got[8] == 12.0 and got[5] == 7.5  # chain beats the heavy shortcut
