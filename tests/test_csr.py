@@ -213,3 +213,53 @@ def test_cdlp_csr_hub_split_path(spark):
         for r in cdlp_csr(g, max_round=5, hub_degree=50).state.collect()
     }
     assert a == b
+
+
+def test_csr_kernels_on_int32_compacted_ids(spark):
+    """All four kernels must run end-to-end on an int32-compacted edge
+    table (the tuned at-scale layout): 4-byte keys through the kernel
+    schemas, results matching the long-id run after mapping back."""
+    from linkgraph.algos.cdlp import cdlp
+    from linkgraph.csr import cdlp_csr, pagerank_csr, sssp_csr, wcc_csr
+    from linkgraph.etl import compact_vertex_ids
+
+    edges = [(100, 2), (2, 300), (300, 100), (7, 8), (8, 9), (100, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ce, mp = compact_vertex_ids(e, num_partitions=4)
+    assert dict(ce.dtypes)["src"] == "int"
+    fwd = {r["id"]: r["cid"] for r in mp.collect()}
+    g_long = Graph.from_edges(e, directed=True)
+    g_int = Graph.from_edges(ce, directed=True)
+
+    pr_l = {r["id"]: r["rank"] for r in pagerank_csr(g_long, max_iter=15, tol=0.0).state.collect()}
+    pr_i = {r["id"]: r["rank"] for r in pagerank_csr(g_int, max_iter=15, tol=0.0).state.collect()}
+    for v, cid in fwd.items():
+        assert abs(pr_l[v] - pr_i[cid]) < 1e-12
+
+    wc_l = {r["id"]: r["comp"] for r in wcc_csr(g_long).state.collect()}
+    wc_i = {r["id"]: r["comp"] for r in wcc_csr(g_int).state.collect()}
+    # component labels are min member ids — compare the partitions, not labels
+    from collections import defaultdict
+    part_l, part_i = defaultdict(set), defaultdict(set)
+    for v, c in wc_l.items():
+        part_l[c].add(fwd[v])
+    for v, c in wc_i.items():
+        part_i[c].add(v)
+    assert sorted(map(frozenset, part_l.values())) == sorted(map(frozenset, part_i.values()))
+
+    cd_l = {r["id"]: r["label"] for r in cdlp(g_long, max_round=5).state.collect()}
+    cd_i = {r["id"]: r["label"] for r in cdlp_csr(g_int, max_round=5).state.collect()}
+    assert dict(cdlp_csr(g_int, max_round=5).state.dtypes)["label"] == "int"
+    # label partitions must agree (labels themselves are id-space-relative);
+    # compacting preserves id ORDER (dense rank), so min-tie-breaks agree
+    lp_l, lp_i = defaultdict(set), defaultdict(set)
+    for v, c in cd_l.items():
+        lp_l[c].add(fwd[v])
+    for v, c in cd_i.items():
+        lp_i[c].add(v)
+    assert sorted(map(frozenset, lp_l.values())) == sorted(map(frozenset, lp_i.values()))
+
+    ss_l = {r["id"]: r["dist"] for r in sssp_csr(g_long, source=100).state.collect()}
+    ss_i = {r["id"]: r["dist"] for r in sssp_csr(g_int, source=fwd[100]).state.collect()}
+    for v, cid in fwd.items():
+        assert ss_l[v] == ss_i[cid]
