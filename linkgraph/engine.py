@@ -144,6 +144,23 @@ class SuperstepEngine:
         self.checkpoint_format = checkpoint_format or os.environ.get(
             "SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet"
         )
+        # Shuffle files of completed supersteps are reclaimed by
+        # ContextCleaner only when the DRIVER JVM garbage-collects the
+        # dropped ShuffleDependency objects. A skinny driver under an
+        # iterative load may not GC for the whole job while each
+        # superstep leaves ~E-row shuffle files on disk; at 10^9-edge
+        # scale that fills local storage mid-run (observed: the 1B-edge
+        # local-cluster leg grew disk at >1 GB/min past a 90 s
+        # spark.cleaner.periodicGC.interval and hit ENOSPC at round 9).
+        # driver_gc_every = k forces a Python gc pass (drops py4j refs
+        # to retired DataFrames) followed by an explicit driver-JVM
+        # System.gc() every k supersteps, making shuffle reclamation
+        # deterministic: on-disk garbage is bounded by k rounds' shuffle
+        # volume instead of by GC luck. Env: SPARK_GRAFT_DRIVER_GC_EVERY
+        # (0 = off, the default — small jobs never need it).
+        self.driver_gc_every = int(
+            os.environ.get("SPARK_GRAFT_DRIVER_GC_EVERY", "0") or 0
+        )
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -262,6 +279,11 @@ class SuperstepEngine:
             state.unpersist()
             state = new_state
             all_metrics.append(metrics)
+            if self.driver_gc_every and (round_ + 1) % self.driver_gc_every == 0:
+                import gc as _gc
+
+                _gc.collect()  # release py4j handles of retired frames first
+                self.spark.sparkContext._jvm.System.gc()
             round_ += 1
             if halt:
                 converged = True

@@ -67,3 +67,17 @@ def test_observed_multi_expr_to_metrics(spark):
     assert res.rounds == 5
     assert seen[-1]["mx"] == 160.0
     assert res.last["sum_x"] == 15 * 32.0
+
+
+def test_driver_gc_cadence_preserves_results(spark, monkeypatch):
+    """SPARK_GRAFT_DRIVER_GC_EVERY forces a driver-JVM System.gc()
+    every k supersteps (deterministic ContextCleaner shuffle
+    reclamation on 10^9-edge jobs). It must be a pure side effect:
+    same rounds, same metrics, same final state."""
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_GC_EVERY", "1")
+    eng = SuperstepEngine(spark)
+    assert eng.driver_gc_every == 1
+    res = _count_to_ten(spark, eng)
+    assert res.converged and res.rounds == 11
+    vals = {r["id"]: r["v"] for r in res.state.collect()}
+    assert vals == {0: 10, 1: 10, 2: 10, 3: 10}

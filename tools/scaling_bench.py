@@ -75,6 +75,13 @@ if cluster:
     # ~2 GB/min growth). Spark's periodicGC default is 30 min; force
     # it well under the time-to-disk-full.
     exec_conf["spark.cleaner.periodicGC.interval"] = "90s"
+    # periodicGC alone cannot keep pace at 10^9-edge scale (the 1B lo
+    # leg leaked >1 GB/min of dropped shuffle files past it and filled
+    # the disk at round 9): also force a deterministic driver GC after
+    # EVERY superstep (engine knob), bounding on-disk shuffle garbage
+    # to one round's volume. The skinny driver's System.gc() is
+    # sub-second against 100 s supersteps.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_GC_EVERY", "1")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
 elif mpc:
     os.environ["SPARK_DRIVER_MEMORY"] = str(cpus * mpc) + "m"
