@@ -52,6 +52,15 @@ mode = sys.argv[5] if len(sys.argv) > 5 else "join"
 # which at 1B edges starves the high-parallelism leg: its working set
 # spills while the low leg's CPUs, not memory, are the binding limit).
 mpc = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_MB", "0"))
+# SPARK_GRAFT_LOCAL_DIR: redirect shuffle/spill files (e.g. to a
+# tmpfs like /dev/shm/spark) — the control experiment for whether
+# hi-leg superstep spikes come from all executors sharing ONE disk
+# device + page cache on this box. A real cluster gives each node its
+# own NVMe; tmpfs emulates "storage that scales with node count".
+ldir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+if ldir:
+    os.makedirs(ldir, exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = ldir
 # SPARK_GRAFT_CLUSTER_MODE=1: the most faithful two-cluster-size
 # emulation this sandbox allows — Spark's local-cluster master spawns
 # REAL separate executor JVMs (cpus//8 executors x 8 cores, each with
