@@ -796,6 +796,118 @@ def _q_densest(spark, sf_dir):
     return densest_subgraph(part_graph(spark, sf_dir))
 
 
+def _q_subgraph_census(spark, sf_dir):
+    """Consolidated one-row subgraph family (kclique + motif census +
+    densest — three single-row frames cross-joined, the registry-cap
+    consolidation pattern): every underlying engine path still runs."""
+    return (
+        _q_kclique(spark, sf_dir)
+        .crossJoin(_q_motif_census(spark, sf_dir))
+        .crossJoin(_q_densest(spark, sf_dir))
+    )
+
+
+def _q_pattern_match(spark, sf_dir):
+    """Generic declarative pattern matching (GIE Pattern,
+    interactive_engine/executor/ir/proto/algebra.proto:407, planned as
+    ExtendIntersect) — match_pattern compiles arbitrary small labeled
+    patterns to the kclique-style equi-join stages. Gate: (1) a
+    4-vertex LABELED tailed triangle a–b–c(–a), c–d with
+    size_class(a)=0 and size_class(d)=1 over the %6 graph with part
+    p_size%3 vertex labels; (2) a directed transitive triangle
+    x→y→z, x→z over the stored directions. One row
+    (n_tailed_labeled, n_trans_dir)."""
+    from linkgraph.algos.patterns import match_pattern
+
+    e = part_edges(spark, sf_dir).select("src", "dst")
+    th = e.where((F.col("src") * 1000003 + F.col("dst")) % 6 == 0)
+    labels = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            F.col("p_partkey").cast("long").alias("id"),
+            (F.col("p_size") % 3).cast("long").alias("size_class"),
+        )
+    )
+    g = Graph.from_edges(th, vertices=labels, directed=True)
+    m1 = match_pattern(
+        g,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        vertex_predicates={
+            "a": F.col("size_class") == 0,
+            "d": F.col("size_class") == 1,
+        },
+    )
+    m2 = match_pattern(g, [("x", "y"), ("y", "z"), ("x", "z")], directed=True)
+    c1 = m1.agg(F.count("*").cast("long").alias("n_tailed_labeled"))
+    c2 = m2.agg(F.count("*").cast("long").alias("n_trans_dir"))
+    return c1.crossJoin(c2)
+
+
+def _q_project_labels(spark, sf_dir):
+    """Multi-label property-graph layer (graph_schema.py:32-249,
+    graph.py:816-868; the twin-label v2_e2 analog of
+    tests/conftest.py:85-231): build a 3-label / 2-relation graph from
+    the TPC-H tables — (customer)-[placed]->(order)-[contains]->(part)
+    with namespaced global ids — project TWO different simple graphs,
+    and run wcc + degrees on each. Rows: (g, id, label, comp,
+    degree) for every vertex of both projections."""
+    from linkgraph.labels import PropertyGraph, namespaced_id
+    from linkgraph.algos.wcc import wcc as _wcc
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        namespaced_id("c_custkey", 0, 3),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ordv = orders.select(namespaced_id("o_orderkey", 1, 3))
+    partv = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        namespaced_id("p_partkey", 2, 3),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    placed = orders.select(
+        (F.col("o_custkey").cast("long") * 3 + 0).alias("src"),
+        (F.col("o_orderkey").cast("long") * 3 + 1).alias("dst"),
+    )
+    contains = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            (F.col("l_orderkey").cast("long") * 3 + 1).alias("src"),
+            (F.col("l_partkey").cast("long") * 3 + 2).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    pg = (
+        PropertyGraph(directed=True)
+        .add_vertices("customer", cust)
+        .add_vertices("order", ordv)
+        .add_vertices("part", partv)
+        .add_edges("placed", placed, "customer", "order")
+        .add_edges("contains", contains, "order", "part")
+    )
+    assert pg.schema()["edges"]["placed"]["relation"] == ("customer", "order")
+    out = None
+    for tag, gsel in (
+        ("g1", pg.project(vertices={"customer": [], "order": []},
+                          edges={"placed": []})),
+        ("g2", pg.project(vertices={"order": [], "part": []},
+                          edges={"contains": []})),
+    ):
+        comp = _wcc(gsel).state
+        degs = gsel.degrees("both")
+        r = (
+            gsel.vertices.select("id", "label")
+            .join(comp, "id", "left")
+            .join(degs, "id", "left")
+            .select(
+                F.lit(tag).alias("g"), "id", "label",
+                F.coalesce("comp", F.col("id")).alias("comp"),
+                F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def _q_ordering(spark, sf_dir):
     """Degeneracy ordering + onion-layer ordering per vertex
     (flash/core/{degeneracy-ordering.h:44-113,
@@ -944,9 +1056,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_path": _q_sampling_path,
         "simple_paths": _q_simple_paths,
         "dfs": _q_dfs,
-        "kclique": _q_kclique,
-        "motif_census": _q_motif_census,
-        "densest": _q_densest,
+        # r5 consolidation: kclique + motif_census + densest fold into
+        # one single-row gate, freeing registry slots for the two new
+        # r5 capabilities below (cap stays at exactly 50)
+        "subgraph_census": _q_subgraph_census,
+        "pattern_match": _q_pattern_match,
+        "project_labels": _q_project_labels,
         "ordering": _q_ordering,
         "covers": _q_covers,
         # training-data pipeline operators (documents/embeddings)
@@ -956,17 +1071,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": pl.ngram_jaccard_pairs,
         "fingerprints": _q_fingerprints,
         "embedding_topk": _q_embedding_topk,
-        # pinned 8x4 LSH geometry: the DuckDB twin is a static SQL
-        # string, so the gate cannot follow the library's data-sized
-        # auto-params (pl.ann_auto_params — measured in BASELINE.md)
-        "embedding_ann": lambda spark, sf_dir: pl.embedding_ann(
-            spark, sf_dir, bits=pl.ANN_BITS, tables=pl.ANN_TABLES),
+        # SHIPPED-DEFAULT auto geometry (bits=None → pl.ann_auto_params
+        # from the parquet footer row count): oracle_sql() generates
+        # the DuckDB twin from the same computed (bits, tables), so the
+        # gate verifies the path users actually run (VERDICT r4 ask 3)
+        "embedding_ann": lambda spark, sf_dir: pl.embedding_ann(spark, sf_dir),
         # embedding-cosine near-dup pairs: threshold 0.3 because the
         # synthetic embeddings are i.i.d. random (max pairwise cosine
         # ~0.5 at sf0.01) — a production 0.9 would gate an empty frame;
         # pytest plants real duplicates and checks recall at 0.9
         "embedding_near_dup": lambda spark, sf_dir: pl.embedding_near_dup(
-            spark, sf_dir, threshold=0.3, bits=pl.ANN_BITS, tables=pl.ANN_TABLES),
+            spark, sf_dir, threshold=0.3),
         "dedup_clusters": pl.dedup_clusters,
     }
 
@@ -2552,9 +2667,55 @@ SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
     sql["articulation_points"] = _articulation_sql()
     sql["bcc"] = _bcc_sql()
     sql["matching_family"] = _matching_family_sql()
-    sql["kclique"] = _kclique_sql()
-    sql["motif_census"] = _motif_census_sql()
-    sql["densest"] = _densest_sql()
+    sql["subgraph_census"] = (
+        f"SELECT * FROM ({_kclique_sql()}) "
+        f"CROSS JOIN ({_motif_census_sql()}) "
+        f"CROSS JOIN ({_densest_sql()})"
+    )
+    sql["pattern_match"] = f"""WITH {PART_EDGES_SQL}{_S6_SQL}
+, pcls AS MATERIALIZED (SELECT p_partkey AS id, p_size % 3 AS sc FROM part)
+SELECT
+  CAST((SELECT count(*)
+        FROM s6sym ab JOIN s6sym bc ON bc.src = ab.dst
+        JOIN s6sym ac ON ac.src = ab.src AND ac.dst = bc.dst
+        JOIN s6sym cd ON cd.src = bc.dst
+        JOIN pcls pa ON pa.id = ab.src AND pa.sc = 0
+        JOIN pcls pd ON pd.id = cd.dst AND pd.sc = 1
+        WHERE cd.dst <> ab.src AND cd.dst <> ab.dst) AS BIGINT) AS n_tailed_labeled,
+  CAST((SELECT count(*)
+        FROM s6e e1 JOIN s6e e2 ON e2.src = e1.dst
+        JOIN s6e e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS BIGINT) AS n_trans_dir"""
+    sql["project_labels"] = """WITH RECURSIVE
+cv AS MATERIALIZED (SELECT c_custkey * 3 + 0 AS id, 'customer' AS label FROM customer),
+ov AS MATERIALIZED (SELECT o_orderkey * 3 + 1 AS id, 'order' AS label FROM orders),
+pv AS MATERIALIZED (SELECT p_partkey * 3 + 2 AS id, 'part' AS label FROM part),
+e1 AS MATERIALIZED (
+    SELECT o_custkey * 3 + 0 AS src, o_orderkey * 3 + 1 AS dst FROM orders),
+e2 AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey * 3 + 1 AS src, l_partkey * 3 + 2 AS dst FROM lineitem),
+v1 AS (SELECT * FROM cv UNION ALL SELECT * FROM ov),
+v2 AS (SELECT * FROM ov UNION ALL SELECT * FROM pv),
+s1 AS MATERIALIZED (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+s2 AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+lab1(id, comp) AS (
+    SELECT id, id FROM v1
+    UNION
+    SELECT s.dst, l.comp FROM lab1 l JOIN s1 s ON s.src = l.id WHERE l.comp < s.dst),
+lab2(id, comp) AS (
+    SELECT id, id FROM v2
+    UNION
+    SELECT s.dst, l.comp FROM lab2 l JOIN s2 s ON s.src = l.id WHERE l.comp < s.dst),
+c1 AS (SELECT id, min(comp) AS comp FROM lab1 GROUP BY id),
+c2 AS (SELECT id, min(comp) AS comp FROM lab2 GROUP BY id),
+d1 AS (SELECT id, count(*) AS degree FROM (
+    SELECT src AS id FROM e1 UNION ALL SELECT dst FROM e1) GROUP BY id),
+d2 AS (SELECT id, count(*) AS degree FROM (
+    SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2) GROUP BY id)
+SELECT 'g1' AS g, v.id, v.label, c.comp, CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+FROM v1 v JOIN c1 c ON c.id = v.id LEFT JOIN d1 d ON d.id = v.id
+UNION ALL
+SELECT 'g2' AS g, v.id, v.label, c.comp, CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+FROM v2 v JOIN c2 c ON c.id = v.id LEFT JOIN d2 d ON d.id = v.id"""
     sql["ordering"] = _ordering_sql()
     sql["covers"] = _covers_sql()
     sql["msf"] = _msf_sql()
@@ -2769,7 +2930,15 @@ lab(id, comp) AS (
     SELECT s.dst, l.comp FROM lab l JOIN sym2 s ON s.src = l.id WHERE l.comp < s.dst)
 SELECT id AS doc_id, min(comp) AS canonical_id FROM lab GROUP BY id"""
     )
-    dim, bits, tables, nq, kk = 64, pl.ANN_BITS, pl.ANN_TABLES, 10, 10
+    # ANN geometry = the SHIPPED auto default, computed from the gate
+    # corpus's parquet footer exactly like pl.embedding_ann does at
+    # run time (driver compares at sf0.01; tools/check_oracles.py sets
+    # SPARK_GRAFT_ORACLE_SF_DIR when it runs another sf) — so the
+    # driver gate verifies the auto-geometry path end-to-end
+    gate_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    dim, n_vec = pl.embeddings_meta(gate_sf)
+    bits, tables = pl.ann_auto_params(n_vec)
+    nq, kk = 10, 10
     plane_rows = ", ".join(
         f"({t}, {j}, [{', '.join(str(float(x)) for x in pl.ann_hyperplanes(dim, bits, table=t)[j])}]::DOUBLE[])"
         for t in range(tables)

@@ -23,9 +23,11 @@ a declarative plan.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -158,9 +160,15 @@ class SuperstepEngine:
         # deterministic: on-disk garbage is bounded by k rounds' shuffle
         # volume instead of by GC luck. Env: SPARK_GRAFT_DRIVER_GC_EVERY
         # (0 = off, the default — small jobs never need it).
-        self.driver_gc_every = int(
-            os.environ.get("SPARK_GRAFT_DRIVER_GC_EVERY", "0") or 0
-        )
+        try:
+            self.driver_gc_every = max(
+                0, int(os.environ.get("SPARK_GRAFT_DRIVER_GC_EVERY", "0") or 0)
+            )
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_DRIVER_GC_EVERY must be an integer round count "
+                f"(got {os.environ['SPARK_GRAFT_DRIVER_GC_EVERY']!r})"
+            ) from exc
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -280,10 +288,19 @@ class SuperstepEngine:
             state = new_state
             all_metrics.append(metrics)
             if self.driver_gc_every and (round_ + 1) % self.driver_gc_every == 0:
-                import gc as _gc
-
-                _gc.collect()  # release py4j handles of retired frames first
-                self.spark.sparkContext._jvm.System.gc()
+                gc.collect()  # release py4j handles of retired frames first
+                # sparkContext._jvm is classic-mode only (absent under
+                # Spark Connect); skip the JVM GC there with one warning
+                # instead of crashing mid-run
+                jvm = getattr(getattr(self.spark, "sparkContext", None), "_jvm", None)
+                if jvm is not None:
+                    jvm.System.gc()
+                elif not getattr(self, "_warned_no_jvm_gc", False):
+                    self._warned_no_jvm_gc = True
+                    warnings.warn(
+                        "SPARK_GRAFT_DRIVER_GC_EVERY: driver-JVM System.gc() "
+                        "is unavailable under Spark Connect; running Python "
+                        "gc only", stacklevel=2)
             round_ += 1
             if halt:
                 converged = True

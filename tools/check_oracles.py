@@ -31,6 +31,9 @@ def normalize(df, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle_sql() derives the ANN auto-geometry from the gate corpus's
+    # parquet footer; point it at the sf we are checking
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as ent
     from linkgraph.session import get_spark
