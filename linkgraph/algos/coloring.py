@@ -57,9 +57,22 @@ def greedy_color(
     engine: SuperstepEngine | None = None,
     max_iter: int = 10_000,
     num_partitions: int | None = None,
+    priority: str = "degree",
+    seed: int = 42,
 ) -> SuperstepResult:
     """Returns state (id: long, color: long) — the unique greedy
-    coloring along the (degree desc, id desc) priority order."""
+    coloring along the chosen priority order.
+
+    priority='degree' (default) is the reference's (deg desc, id desc)
+    order (color.h:47-85) — oracle-parity, but its priority-DAG depth
+    is data-dependent (near-clique communities make it deep: 59 rounds
+    at sf0.1, VERDICT r4 "what's wrong" #3). priority='random' is the
+    classic Jones–Plassmann randomized order — a seeded deterministic
+    hash (xxhash64(id, seed), id), expected DAG depth O(log n) on
+    bounded-degree graphs — the depth-capped variant for scaled runs;
+    still a valid greedy coloring (every round's mex argument is the
+    same fixpoint recurrence), just along a different total order, so
+    it stays deterministic and oracle-checkable given the same seed."""
     spark = graph.edges.sparkSession
     eng = engine or SuperstepEngine(spark)
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -71,9 +84,16 @@ def greedy_color(
 
     # orient each undirected pair higher-priority -> lower-priority
     # once; every round's messages flow down this DAG only
-    dv = verts.join(deg, "id", "left").select(
-        "id", F.coalesce("deg", F.lit(0)).alias("deg")
-    )
+    if priority == "degree":
+        dv = verts.join(deg, "id", "left").select(
+            "id", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+    elif priority == "random":
+        dv = verts.select(
+            "id", F.xxhash64(F.col("id"), F.lit(int(seed))).alias("deg")
+        )
+    else:
+        raise ValueError(f"priority must be degree/random, got {priority!r}")
     oriented = (
         sym.join(dv.select(F.col("id").alias("src"), F.col("deg").alias("ds")), "src")
         .join(dv.select(F.col("id").alias("dst"), F.col("deg").alias("dd")), "dst")

@@ -61,6 +61,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _dot_col(a, b) -> F.Column:
+    """JVM-side fold dot product over two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine_col(a, b) -> F.Column:
+    """Cosine similarity, NULL for zero-norm vectors — a 10^9-vector
+    corpus WILL contain all-zero embeddings and Spark 4's ANSI mode
+    turns the naive /0 into a job-killing ArithmeticException (found
+    by the hypothesis suite); NULL drops out of every >= threshold
+    filter and ranks last in top-k windows."""
+    norm = F.sqrt(_dot_col(a, a)) * F.sqrt(_dot_col(b, b))
+    return F.when(norm > 0, _dot_col(a, b) / norm)
+
+
 _EMB_META: dict[str, tuple[int, int]] = {}
 
 
@@ -416,10 +433,7 @@ def embedding_topk(
         .select(
             "q",
             "vec_id",
-            (
-                dot(F.col("qv"), F.col("v"))
-                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
-            ).alias("sim"),
+            _cosine_col(F.col("qv"), F.col("v")).alias("sim"),
         )
     )
     # two-stage top-k: local top-k inside each scan partition first,
@@ -563,10 +577,7 @@ def embedding_ann(
         .select(
             "q",
             "vec_id",
-            (
-                dotf(F.col("qv"), F.col("v"))
-                / (F.sqrt(dotf(F.col("qv"), F.col("qv"))) * F.sqrt(dotf(F.col("v"), F.col("v"))))
-            ).alias("sim"),
+            _cosine_col(F.col("qv"), F.col("v")).alias("sim"),
         )
     )
     # two-stage top-k (same shape as embedding_topk): per-partition
@@ -680,10 +691,7 @@ def embedding_near_dup(
         .select(
             F.col("vec_id").alias("a"),
             F.col("b_id").alias("b"),
-            (
-                dot(F.col("v"), F.col("bv"))
-                / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("bv"), F.col("bv"))))
-            ).alias("sim"),
+            _cosine_col(F.col("v"), F.col("bv")).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -799,10 +807,7 @@ def embedding_ivf_topk(
         .select(
             "q",
             "vec_id",
-            (
-                dot(F.col("qv"), F.col("v"))
-                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
-            ).alias("sim"),
+            _cosine_col(F.col("qv"), F.col("v")).alias("sim"),
         )
     )
     wl = Window.partitionBy("q", "_pid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())

@@ -84,6 +84,51 @@ def test_greedy_color_path(spark):
     assert got == _color_oracle(_adj([(1, 2), (2, 3)]))
 
 
+def test_greedy_color_random_priority(spark):
+    """priority='random' (Jones–Plassmann, seeded xxhash64 order):
+    proper coloring, equals the sequential greedy replay along the
+    same hash order, and converges in no more rounds than the
+    priority DAG is deep."""
+    from pyspark.sql import functions as F
+
+    pairs = _rand_und(40, 150, seed=11)
+    adj = _adj(pairs)
+    g = _graph(spark, pairs)
+    res = greedy_color(g, priority="random", seed=7)
+    got = {r["id"]: r["color"] for r in res.state.collect()}
+    assert res.converged
+    for a, b in pairs:
+        assert got[a] != got[b]
+    # replay oracle: same order = (xxhash64(id, 7) desc, id desc)
+    pr = {
+        r["id"]: r["p"]
+        for r in g.deduced_vertices()
+        .select("id", F.xxhash64(F.col("id"), F.lit(7)).alias("p"))
+        .collect()
+    }
+    order = sorted(adj, key=lambda v: (pr[v], v), reverse=True)
+    col = {}
+    for v in order:
+        used = {col[u] for u in adj[v] if u in col}
+        c = 0
+        while c in used:
+            c += 1
+        col[v] = c
+    assert got == col
+
+
+def test_greedy_color_random_seed_changes_order(spark):
+    """Different seeds give (generally) different colorings but both
+    proper — the knob is deterministic per seed."""
+    pairs = _rand_und(30, 90, seed=3)
+    g = _graph(spark, pairs)
+    a = {r["id"]: r["color"] for r in greedy_color(g, priority="random", seed=1).state.collect()}
+    b = {r["id"]: r["color"] for r in greedy_color(g, priority="random", seed=1).state.collect()}
+    assert a == b  # same seed -> identical
+    for x, y in pairs:
+        assert a[x] != a[y]
+
+
 # -- fluid community (fluid-community.h, synchronous) ------------------
 
 
