@@ -146,6 +146,16 @@ class SuperstepEngine:
         self.checkpoint_format = checkpoint_format or os.environ.get(
             "SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet"
         )
+        if self.checkpoint_format == "iceberg" and not iceberg_available(spark):
+            # fail at construction with an actionable message instead of
+            # a ClassNotFoundException out of round N's checkpoint write
+            raise RuntimeError(
+                "checkpoint_format='iceberg' needs the iceberg-spark-runtime "
+                "jar on the session classpath (spark.jars.packages "
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>) "
+                "plus a catalog conf; this environment ships no Iceberg "
+                "runtime — see README 'Checkpoint formats'"
+            )
         # Shuffle files of completed supersteps are reclaimed by
         # ContextCleaner only when the DRIVER JVM garbage-collects the
         # dropped ShuffleDependency objects. A skinny driver under an
@@ -309,6 +319,21 @@ class SuperstepEngine:
         return SuperstepResult(
             state=state, rounds=round_ - start_round, converged=converged, metrics=all_metrics
         )
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg DataSource is loadable in this session's
+    JVM (the iceberg-spark-runtime jar is on the classpath). Classic
+    mode only; under Spark Connect the classpath is remote, so assume
+    available and let the server validate."""
+    jvm = getattr(getattr(spark, "sparkContext", None), "_jvm", None)
+    if jvm is None:
+        return True
+    try:
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
 
 
 def _jsonable(v: Any) -> bool:

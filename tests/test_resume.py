@@ -94,3 +94,31 @@ def test_sssp_csr_resume_matches_full_run(spark, tmp_path):
     want = {r["id"]: r["dist"] for r in sssp_csr(g, source=0, weight_col="w").state.collect()}
     assert got == want
     assert got[8] == 12.0 and got[5] == 7.5  # chain beats the heavy shortcut
+
+
+def test_iceberg_checkpoint_format_gated(spark, small_graph, tmp_path):
+    """checkpoint_format='iceberg' (VERDICT r4 ask 8): when the
+    iceberg-spark-runtime jar is on the classpath the resume
+    round-trip must work exactly like parquet; in this jar-less test
+    environment the engine must refuse AT CONSTRUCTION with an
+    actionable message (documented limitation, README 'Checkpoint
+    formats') instead of dying mid-run in round N's checkpoint write."""
+    import pytest
+
+    from linkgraph.engine import iceberg_available
+
+    ckpt = str(tmp_path / "ice_ckpt")
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            SuperstepEngine(spark, checkpoint_dir=ckpt, checkpoint_every=2,
+                            checkpoint_format="iceberg")
+        return
+    g = Graph.from_edges(small_graph, directed=True)
+    eng1 = SuperstepEngine(spark, checkpoint_dir=ckpt, checkpoint_every=2,
+                           checkpoint_format="iceberg")
+    pagerank(g, max_iter=4, tol=0.0, engine=eng1)
+    assert eng1.latest_checkpoint() is not None
+    eng2 = SuperstepEngine(spark, checkpoint_dir=ckpt, checkpoint_every=2,
+                           checkpoint_format="iceberg")
+    res = pagerank(g, max_iter=100, tol=1e-6, engine=eng2, resume=True)
+    assert res.converged
