@@ -139,6 +139,12 @@ def main() -> None:
     col = run2("coloring", lambda: mat(greedy_color(g)))
     extra["coloring_rounds"] = col.rounds
 
+    # randomized-priority Jones-Plassmann (r5): expected O(log n) DAG
+    # depth vs the data-dependent (deg,id) order above — the at-scale
+    # variant; rounds reported so the depth cap stays measured
+    colr = run2("coloring_random", lambda: mat(greedy_color(g, priority="random")))
+    extra["coloring_random_rounds"] = colr.rounds
+
     run2("minhash_lsh", lambda: pl.lsh_candidate_pairs(spark, sf_dir).count())
 
     run2("embedding_topk", lambda: pl.embedding_topk(spark, sf_dir).count())

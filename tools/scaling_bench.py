@@ -28,6 +28,9 @@ Modes:
                 default is the deserialized DESER variant — plus
                 spark.rdd.compress).
   csr         — the CSR-block mapInPandas kernel.
+  *_noaqe     — any mode with AQE disabled for the superstep loop
+                (r5: AQE's per-stage re-planning only adds latency to
+                the already explicitly partitioned iterative plan).
 
 Usage: python tools/scaling_bench.py [n_vertices] [avg_degree] [rounds] [n_lo] [mode]
 """
@@ -97,13 +100,25 @@ elif mpc:
 else:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 sys.path.insert(0, {repo!r})
-tuned = mode.endswith("_tuned")
+tuned = "tuned" in mode
 
 extra = {{}}
+if "noaqe" in mode:
+    # r5 measured tuning: AQE re-plans and re-materializes every query
+    # stage of every superstep, which on the fixed, explicitly
+    # partitioned iterative plan only adds scheduling latency + extra
+    # exchange volume (128M-edge profile: 4 jobs/round -> 1,
+    # shuffle 2.1 GB -> 1.7 GB, wall -7%) -- the superstep's
+    # partitioning is already data-sized, so AQE has nothing to fix
+    extra["spark.sql.adaptive.enabled"] = "false"
 if tuned:
     # partitions sized by data (~128 MB of raw 16-byte edge rows per
     # partition), never below the core count; state truncation
-    # serialized + lz4-compressed
+    # serialized + lz4-compressed. (r5 control: sizing partitions DOWN
+    # to fit the partial-agg hash map — P=256 at 512M — eliminated the
+    # 36 GB/round spill but RAISED wall 15% from +29% shuffle volume;
+    # the spill is page-cache-absorbed on a RAM-rich box, so the r4
+    # rule stands. See BASELINE.md round-5 decomposition.)
     P = max(cpus, (nv * deg * 16) >> 27)
     os.environ.setdefault("SPARK_GRAFT_STATE_LEVEL", "MEMORY_AND_DISK")
     extra["spark.rdd.compress"] = "true"

@@ -48,7 +48,9 @@ def main() -> None:
     sys.path.insert(0, repo)
     logdir = tempfile.mkdtemp(prefix="sparklog-")
 
-    P = max(cpus, (nv * deg * 16) >> 27)
+    P = int(os.environ.get("SPARK_GRAFT_PROFILE_PARTITIONS", "0")) or max(
+        cpus, (nv * deg * 16) >> 27
+    )
     os.environ.setdefault("SPARK_GRAFT_STATE_LEVEL", "MEMORY_AND_DISK")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
