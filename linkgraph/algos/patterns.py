@@ -122,7 +122,8 @@ def match_pattern(
     if directed and (v0, v1) in pattern_edges and (v1, v0) in pattern_edges:
         # reciprocal seed pair: intersect both directions
         cur = adj.select(F.col("src").alias(v0), F.col("dst").alias(v1)).join(
-            adj.select(F.col("dst").alias(v0), F.col("src").alias(v1)), [v0, v1], "left_semi"
+            adj.select(F.col("dst").alias(v0), F.col("src").alias(v1)).hint("SHUFFLE_HASH"),
+            [v0, v1], "left_semi"
         )
     elif directed and (v1, v0) in pattern_edges and (v0, v1) not in pattern_edges:
         cur = adj.select(F.col("dst").alias(v0), F.col("src").alias(v1))
@@ -151,9 +152,16 @@ def match_pattern(
         first, kind = exts[0]
 
         def ext_frame(b: str, k: str) -> DataFrame:
+            # the adjacency side is the hash-BUILD side (SHUFFLE_HASH,
+            # never sort-merge): the partial-match frame can be orders
+            # of magnitude larger than E and must stream, not sort —
+            # same policy as linkgraph/joins.py; AQE still upgrades to
+            # broadcast when the adjacency slice is small
             if k == "rev":
-                return adj.select(F.col("dst").alias(b), F.col("src").alias(w))
-            return adj.select(F.col("src").alias(b), F.col("dst").alias(w))
+                e = adj.select(F.col("dst").alias(b), F.col("src").alias(w))
+            else:
+                e = adj.select(F.col("src").alias(b), F.col("dst").alias(w))
+            return e.hint("SHUFFLE_HASH")
 
         cur = cur.join(ext_frame(first, kind), first)
         for b, k in exts[1:]:
