@@ -17,8 +17,9 @@ Spark-first (Catalyst plans, AQE, broadcast joins, map-side combine).
 
 from linkgraph.graph import Graph
 from linkgraph.engine import SuperstepEngine
+from linkgraph.labels import PropertyGraph
 from linkgraph.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["Graph", "SuperstepEngine", "get_spark", "__version__"]
+__all__ = ["Graph", "PropertyGraph", "SuperstepEngine", "get_spark", "__version__"]

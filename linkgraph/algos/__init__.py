@@ -14,8 +14,11 @@ from linkgraph.algos.triangles import (
 from linkgraph.algos.traversal import bfs, sssp
 from linkgraph.algos.hits import hits
 from linkgraph.algos.cores import kcore, kshell
+from linkgraph.algos.patterns import match_count, match_pattern
 
 __all__ = [
+    "match_count",
+    "match_pattern",
     "pagerank",
     "wcc",
     "cdlp",
